@@ -1,0 +1,125 @@
+"""First-class material model + wavefront BSDF dispatch.
+
+The reference dispatches BSDFs with a per-hit stochastic `conductor` flag
+(`devicePrograms.cu:400`: conductor = rnd < metallic) and reaches its pure
+diffuse/dielectric lobes only via commented-out code
+(`devicePrograms.cu:303-341`). SURVEY.md section 2.3 directs: make the
+material model a first-class per-mesh enum. These are the types:
+
+  DIFFUSE        pure Lambert           (reference LambertDiffuse path)
+  CONDUCTOR      rough/smooth metal     (reference Conductor path)
+  DIELECTRIC     glass, refl+trans      (reference Dielectric path)
+  GLOSSY_DIFFUSE layered coat+diffuse   (reference GlossyDiffuse path)
+  METALLIC_MIX   stochastic conductor-vs-layered by `metallic` - the
+                 reference's actual runtime behavior (`devicePrograms.cu:400`)
+
+Wavefront dispatch evaluates every lobe and lane-selects. That costs the sum
+of all lobes per bounce but keeps the wavefront dense and the XLA graph
+static; material-sorted partitioning is the planned optimization (SURVEY.md
+section 7 "hard parts" (4)).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import rng
+from . import conductor as _conductor
+from . import dielectric as _dielectric
+from . import diffuse as _diffuse
+from . import glossy_diffuse as _glossy
+from .base import BSDFSample, where_sample
+
+DIFFUSE = 0
+CONDUCTOR = 1
+DIELECTRIC = 2
+GLOSSY_DIFFUSE = 3
+METALLIC_MIX = 4
+
+MATERIAL_NAMES = {
+    "diffuse": DIFFUSE,
+    "conductor": CONDUCTOR,
+    "dielectric": DIELECTRIC,
+    "glossy_diffuse": GLOSSY_DIFFUSE,
+    "metallic_mix": METALLIC_MIX,
+}
+
+
+class MaterialParams(NamedTuple):
+    """Per-lane material parameters (SoA over the wavefront).
+
+    The analog of the reference's per-mesh `MeshSBTData` scalars
+    (`MeshSBTData.h:6-29`) after texture modulation, plus the first-class
+    `mat_type` enum.
+    """
+    albedo: jnp.ndarray     # [..., 3] linear
+    metallic: jnp.ndarray   # [...]
+    roughness: jnp.ndarray  # [...]
+    ior: jnp.ndarray        # [...] dielectric/coat IOR (reference: 1.5)
+    mat_type: jnp.ndarray   # [...] int32 enum above
+
+
+def resolve_stochastic_lobe(seed, mat: MaterialParams):
+    """Resolve METALLIC_MIX into CONDUCTOR / GLOSSY_DIFFUSE with one draw per
+    lane (reference `devicePrograms.cu:400`), drawn once per hit so NEE and
+    BSDF sampling agree on the lobe. Returns (seed, resolved MaterialParams).
+    """
+    seed, u = rng.rnd(seed)
+    is_mix = mat.mat_type == METALLIC_MIX
+    picked = jnp.where(u < mat.metallic, CONDUCTOR, GLOSSY_DIFFUSE)
+    new_type = jnp.where(is_mix, picked, mat.mat_type)
+    return seed, mat._replace(mat_type=new_type.astype(jnp.int32))
+
+
+def f(seed, mat: MaterialParams, wo, wi):
+    """Evaluate the BSDF for every lane (resolved types only - call
+    `resolve_stochastic_lobe` first). Returns (seed, rgb)."""
+    f_diffuse = _diffuse.f(mat.albedo, wo, wi)
+    f_conductor = _conductor.f(mat.albedo, mat.roughness, wo, wi)
+    # Pure dielectric lobe modulated by albedo as in the reference's
+    # commented dispatch (`devicePrograms.cu:333`).
+    f_dielectric = (_dielectric.f(mat.roughness, wo, wi, eta=mat.ior)
+                    * mat.albedo)
+    seed, f_glossy = _glossy.f(seed, mat.albedo, mat.roughness, wo, wi,
+                               eta=mat.ior)
+
+    t = mat.mat_type[..., None]
+    out = jnp.where(t == DIFFUSE, f_diffuse,
+          jnp.where(t == CONDUCTOR, f_conductor,
+          jnp.where(t == DIELECTRIC, f_dielectric, f_glossy)))
+    return seed, out
+
+
+def sample(seed, mat: MaterialParams, wo):
+    """Importance-sample the BSDF per lane. Returns (seed, BSDFSample)."""
+    seed, s_diffuse = _diffuse.sample(seed, mat.albedo, wo)
+    seed, s_conductor = _conductor.sample(seed, mat.albedo, mat.roughness, wo)
+    seed, s_dielectric = _dielectric.sample(seed, mat.roughness, wo,
+                                            eta=mat.ior)
+    s_dielectric = s_dielectric._replace(color=s_dielectric.color * mat.albedo)
+    seed, s_glossy = _glossy.sample(seed, mat.albedo, mat.roughness, wo,
+                                    eta=mat.ior)
+
+    t = mat.mat_type
+    out = where_sample(t == DIFFUSE, s_diffuse,
+          where_sample(t == CONDUCTOR, s_conductor,
+          where_sample(t == DIELECTRIC, s_dielectric, s_glossy)))
+    return seed, out
+
+
+def pdf(mat: MaterialParams, wo, wi):
+    """Sampling pdf per lane (deterministic lobes only; the layered lobe's
+    pdf is proportional/stochastic in the reference too, approximated here by
+    its entrance lobes for MIS-style uses)."""
+    p_diffuse = _diffuse.pdf(wo, wi)
+    p_conductor = _conductor.pdf(mat.roughness, wo, wi)
+    p_dielectric = _dielectric.pdf(mat.roughness, wo, wi, eta=mat.ior)
+    # Layered: coat reflection + diffuse lobe mix as a usable proxy.
+    p_glossy = 0.5 * (p_diffuse + _dielectric.pdf(
+        mat.roughness, wo, wi, eta=mat.ior, transmission=False))
+
+    t = mat.mat_type
+    return jnp.where(t == DIFFUSE, p_diffuse,
+           jnp.where(t == CONDUCTOR, p_conductor,
+           jnp.where(t == DIELECTRIC, p_dielectric, p_glossy)))

@@ -1,0 +1,176 @@
+"""Wavefront path integrator with next-event estimation.
+
+TPU-native inversion of the reference's one-thread-per-path megakernel
+(`devicePrograms.cu:625-664` SamplePath + `__closesthit__radiance`): rays,
+throughput, and radiance live as SoA arrays over the whole wavefront; each
+bounce is one batched pass (intersect -> shade -> NEE -> BSDF sample), with
+per-lane `alive` masks replacing the reference's endPath/break control flow.
+The bounce loop is statically unrolled (max_bounces is small and static, so
+XLA sees one straight-line graph and fuses across stages).
+
+Reference semantics reproduced deliberately (SURVEY.md quirk list):
+  * point-light falloff color/d^2 with no 1/4pi (`LightMethods.h:21-23`)
+  * light pick uniform, pdf 1/N (`LightMethods.h:25-41`)
+  * NEE not MIS-weighted against BSDF sampling
+  * miss -> black background, beta zeroed (`devicePrograms.cu:576-583`)
+  * ray tmax = 100 world units (`devicePrograms.cu:652`)
+  * kill threshold |beta| > 1e-5 (`devicePrograms.cu:646`)
+  * 1e-3 geometric-normal ray offsets (`devicePrograms.cu:226,503-508`)
+  * per-(pixel, frame) TEA seeding (`devicePrograms.cu:631`)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf import dispatch
+from ..camera.camera import generate_rays
+from ..core import rng
+from ..core.math import abs_cos_theta, length, length_sqr, normalize
+from ..intersect import intersect_any, intersect_closest
+from .surface import make_surface
+
+RAY_TMAX = 100.0
+SHADOW_OFFSET = 1e-3
+BETA_EPS = 1e-5
+
+
+def _nee(seed, scene, surf, beta, alive, intersect_method):
+    """Direct lighting from one uniformly-picked point light
+    (`devicePrograms.cu:444-472`, `LightMethods.h`). Returns (seed, contrib).
+    """
+    n_lights = scene.light_pos.shape[0]
+    if n_lights == 0:
+        return seed, jnp.zeros_like(beta)
+
+    if n_lights == 1:
+        light_idx = jnp.zeros(beta.shape[0], jnp.int32)
+        p_light = 1.0
+    else:
+        seed, u = rng.rnd(seed)
+        light_idx = jnp.minimum((u * n_lights).astype(jnp.int32),
+                                n_lights - 1)
+        p_light = 1.0 / n_lights
+
+    lp = scene.light_pos[light_idx]
+    lc = scene.light_color[light_idx]
+
+    to_light = lp - surf.position
+    dist = length(to_light)
+    wl = normalize(to_light)
+
+    # Shadow ray: offset along the geometric normal, tmax at the light
+    # (`devicePrograms.cu:216-241`).
+    shadow_o = surf.position + SHADOW_OFFSET * surf.g_normal
+    blocked = intersect_any(scene, shadow_o, wl, 0.0, dist,
+                            method=intersect_method)
+    visible = ~blocked & alive
+
+    wl_local = surf.to_local(wl)
+    seed, f_val = dispatch.f(seed, surf.mat, surf.wo_local, wl_local)
+    cos_term = jnp.abs(wl_local[..., 2])
+
+    # L = color / d^2, pdf == 1 (`LightMethods.h:17-23`)
+    radiance = lc / jnp.maximum(length_sqr(to_light), 1e-12)[..., None]
+    contrib = beta * f_val * cos_term[..., None] * radiance / p_light
+    return seed, jnp.where(visible[..., None], contrib, 0.0)
+
+
+def trace_paths(scene, o, d, seed, max_bounces: int,
+                intersect_method: str = "auto",
+                reference_compat: bool = False):
+    """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
+    Returns (radiance [R, 3], seed)."""
+    r = o.shape[0]
+    radiance = jnp.zeros((r, 3), jnp.float32)
+    beta = jnp.ones((r, 3), jnp.float32)
+    alive = jnp.ones((r,), bool)
+
+    for _bounce in range(max_bounces):
+        hit = intersect_closest(scene, o, d, 0.0, RAY_TMAX,
+                                method=intersect_method)
+        # miss -> background is black; path dies with radiance unchanged
+        alive = alive & hit.hit
+
+        seed, surf = make_surface(seed, scene, o, d, hit,
+                                  reference_compat=reference_compat)
+
+        # --- NEE
+        seed, nee_contrib = _nee(seed, scene, surf, beta, alive,
+                                 intersect_method)
+        radiance = radiance + jnp.where(alive[..., None], nee_contrib, 0.0)
+
+        # --- BSDF sample + throughput update (`devicePrograms.cu:474-509`)
+        seed, bs = dispatch.sample(seed, surf.mat, surf.wo_local)
+        ok = bs.valid & (bs.pdf > 0.0)
+        new_beta = (beta * bs.color * abs_cos_theta(bs.direction)[..., None]
+                    / jnp.where(bs.pdf == 0.0, 1.0, bs.pdf)[..., None])
+        alive = alive & ok
+
+        wi_world = normalize(surf.to_world(bs.direction))
+        offset_sign = jnp.where(bs.direction[..., 2] < 0.0, -1.0, 1.0)
+        new_o = (surf.position
+                 + (SHADOW_OFFSET * offset_sign)[..., None] * surf.g_normal)
+
+        beta = jnp.where(alive[..., None], new_beta, beta)
+        o = jnp.where(alive[..., None], new_o, o)
+        d = jnp.where(alive[..., None], wi_world, d)
+        alive = alive & (length(beta) > BETA_EPS)
+
+    return radiance, seed
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_bounces",
+                                   "intersect_method", "reference_compat"))
+def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
+                  width: int, height: int, frame_id,
+                  max_bounces: int = 2,
+                  intersect_method: str = "auto",
+                  reference_compat: bool = False):
+    """Render one 1-spp frame: [H, W, 3] linear radiance (row 0 = bottom,
+    GL convention like the reference framebuffer).
+
+    The per-frame analog of `OptixRenderer::Render` + `__raygen__renderFrame`
+    - but the frame stays on-device (no host round-trip; the reference's
+    known inefficiency, SURVEY.md section 3.2)."""
+    o, d = generate_rays(cam_position, cam_inv_view, cam_inv_proj,
+                         width, height)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
+                          jnp.arange(width, dtype=jnp.uint32), indexing="ij")
+    seed = rng.pixel_seed(width, xs.reshape(-1), ys.reshape(-1), frame_id)
+
+    radiance, _ = trace_paths(scene, o, d, seed, max_bounces,
+                              intersect_method, reference_compat)
+    return radiance.reshape(height, width, 3)
+
+
+def render(scene, camera, width: int, height: int, spp: int,
+           max_bounces: int = 2, intersect_method: str = "auto",
+           reference_compat: bool = False, start_frame: int = 0,
+           accum=None, callback=None):
+    """Progressive render: accumulate `spp` 1-spp frames into a running mean
+    (the on-device analog of the reference's GL accumulation shader,
+    `AddPathtracedFrame.frag:13-25` endless-mode weight 1/samples).
+
+    Supports resume: pass `accum` (the running mean) and `start_frame` from a
+    checkpoint. Returns the accumulated [H, W, 3] image (device array).
+    """
+    pos, inv_view, inv_proj = camera.raygen_params(width, height)
+    if accum is None:
+        accum = jnp.zeros((height, width, 3), jnp.float32)
+
+    for s in range(start_frame, start_frame + spp):
+        frame = render_sample(scene, pos, inv_view, inv_proj, width, height,
+                              jnp.uint32(s), max_bounces, intersect_method,
+                              reference_compat)
+        # running mean: mix(prev, new, 1/(s+1))
+        weight = 1.0 / (s + 1)
+        accum = accum + (frame - accum) * weight
+        if callback is not None:
+            callback(s, accum)
+    return accum

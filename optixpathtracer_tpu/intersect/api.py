@@ -1,0 +1,81 @@
+"""Unified intersection API with the differentiability contract.
+
+Design (SURVEY.md section 7 stage 6): the *discrete* part of intersection
+(which triangle, did it hit) is inherently non-differentiable and runs
+detached - whether it came from the brute-force oracle, the JAX BVH walk, or
+the Pallas kernel. The *continuous* part (t, barycentrics) is then recomputed
+in a few differentiable FLOPs from the detached tri_id, so gradients flow
+from pixels to ray origins/directions and to the triangle vertices without
+any custom_vjp on the traversal kernels. Hit parameters are piecewise-smooth
+in geometry; material gradients (the BASELINE.md target) are exact.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import cross, dot
+from . import brute, bvh_traverse
+from .types import Hit
+
+# Scenes below this triangle count use the dense brute-force kernel (cheaper
+# than divergent traversal); above it, the BVH.
+BRUTE_FORCE_MAX_TRIS = 2048
+
+
+def _refine(scene, o, d, hit: Hit, tmax):
+    """Differentiably recompute (t, u, v) from the detached tri_id."""
+    safe_id = jnp.maximum(hit.tri_id, 0)
+    v0 = scene.tri_v0[safe_id]
+    e1 = scene.tri_e1[safe_id]
+    e2 = scene.tri_e2[safe_id]
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvec = o - v0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(d, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    live = hit.hit & ok
+    return Hit(
+        t=jnp.where(live, t, tmax),
+        tri_id=hit.tri_id,
+        u=jnp.where(live, u, 0.0),
+        v=jnp.where(live, v, 0.0),
+        hit=live,
+        back_face=hit.back_face,
+    )
+
+
+def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
+    """Closest-hit query with differentiable refinement. method in
+    {'auto', 'brute', 'bvh'}."""
+    if method == "auto":
+        method = ("brute" if scene.tri_v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
+                  else "bvh")
+    engine = brute if method == "brute" else bvh_traverse
+    o_det = jax.lax.stop_gradient(o)
+    d_det = jax.lax.stop_gradient(d)
+    scene_det = jax.lax.stop_gradient(scene)
+    raw = engine.intersect_closest(scene_det, o_det, d_det, tmin, tmax)
+    raw = jax.tree.map(jax.lax.stop_gradient, raw)
+    tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
+                                o.shape[:-1])
+    return _refine(scene, o, d, raw, tmax_arr)
+
+
+def intersect_any(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
+    """Occlusion query (boolean, non-differentiable by design - visibility
+    is a step function; its gradient contribution is dropped as in standard
+    detached-sampling differentiable renderers)."""
+    if method == "auto":
+        method = ("brute" if scene.tri_v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
+                  else "bvh")
+    engine = brute if method == "brute" else bvh_traverse
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    scene = jax.lax.stop_gradient(scene)
+    blocked = engine.intersect_any(scene, o, d, tmin, tmax)
+    return jax.lax.stop_gradient(blocked)

@@ -1,0 +1,214 @@
+"""Flatten a host Model into one device-resident SoA pytree (SceneData).
+
+TPU-native replacement for the reference's BuildAccel + BuildSBT design
+(`OptixRenderer.cpp:306-374,486-560`): instead of per-mesh device pointers in
+SBT records, everything lives in ONE flat index space - concatenated
+pre-transformed world-space triangles, a per-triangle material id, a material
+table, and a uniform-resolution texture array - so the wavefront kernels index
+with plain gathers and XLA sees static shapes.
+
+Triangles are stored in Moller-Trumbore form (v0, e1, e2) plus per-corner
+shading normals/uvs. The skip-link BVH (scene/bvh.py) is built over the
+*reordered* triangles so leaf ranges are contiguous.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bsdf.dispatch import MATERIAL_NAMES
+from . import bvh as bvh_mod
+from .types import Model, PointLight
+
+TEXTURE_RES = 256  # uniform texture array resolution (bilinear-resampled)
+PAD_MULTIPLE = 8   # pad triangle count so wavefront gathers stay aligned
+
+
+class SceneData(NamedTuple):
+    """Device-side scene: the analog of the reference's LaunchParams +
+    GAS + SBT + texture objects, as one jit-able pytree.
+
+    Differentiable leaves: mat_albedo, mat_metallic, mat_roughness, mat_ior
+    (and the geometry, through the intersection refinement)."""
+    # geometry (world space, padded to PAD_MULTIPLE)
+    tri_v0: jnp.ndarray      # [T, 3]
+    tri_e1: jnp.ndarray      # [T, 3] v1 - v0
+    tri_e2: jnp.ndarray      # [T, 3] v2 - v0
+    tri_normals: jnp.ndarray  # [T, 3, 3] per-corner shading normals
+    tri_uvs: jnp.ndarray     # [T, 3, 2]
+    tri_mat: jnp.ndarray     # [T] int32 material id
+    tri_valid: jnp.ndarray   # [T] bool (False for padding)
+    # material table
+    mat_albedo: jnp.ndarray    # [M, 3]
+    mat_metallic: jnp.ndarray  # [M]
+    mat_roughness: jnp.ndarray  # [M]
+    mat_ior: jnp.ndarray       # [M]
+    mat_type: jnp.ndarray      # [M] int32
+    mat_albedo_tex: jnp.ndarray  # [M] int32, -1 = none
+    mat_mr_tex: jnp.ndarray      # [M] int32
+    mat_normal_tex: jnp.ndarray  # [M] int32
+    # textures (uniform res, raw [0,1] values - decode after filtering)
+    textures: jnp.ndarray    # [K, R, R, 4]
+    # lights
+    light_pos: jnp.ndarray    # [L, 3]
+    light_color: jnp.ndarray  # [L, 3]
+    # BVH (skip-link layout, scene/bvh.py)
+    bvh_min: jnp.ndarray     # [N, 3]
+    bvh_max: jnp.ndarray     # [N, 3]
+    bvh_skip: jnp.ndarray    # [N] int32
+    bvh_first: jnp.ndarray   # [N] int32
+    bvh_count: jnp.ndarray   # [N] int32
+
+    @property
+    def num_triangles(self):
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_lights(self):
+        return self.light_pos.shape[0]
+
+
+def _resize_texture(pixels: np.ndarray, res: int) -> np.ndarray:
+    """Bilinear resample [H, W, 4] -> [res, res, 4] via PIL."""
+    if pixels.shape[0] == res and pixels.shape[1] == res:
+        return pixels.astype(np.float32)
+    from PIL import Image
+    out = np.zeros((res, res, 4), np.float32)
+    for c in range(4):
+        img = Image.fromarray(pixels[..., c].astype(np.float32), mode="F")
+        out[..., c] = np.asarray(img.resize((res, res), Image.BILINEAR))
+    return out
+
+
+def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
+                  build_bvh: bool = True) -> SceneData:
+    """Bake a Model + lights into SceneData."""
+    v0s, v1s, v2s, n_list, uv_list, mat_ids = [], [], [], [], [], []
+    mats = []
+
+    for mesh in model.meshes:
+        m = mesh.model_matrix()
+        pos = mesh.positions.astype(np.float64) @ m[:3, :3].T + m[:3, 3]
+        if mesh.normals is not None:
+            # normals transform: rotation*scale part applied then normalized
+            # (reference transforms by the model matrix with w=0 and
+            # normalizes, `devicePrograms.cu:100`)
+            nrm = mesh.normals.astype(np.float64) @ m[:3, :3].T
+            nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = nrm / np.maximum(nlen, 1e-20)
+        else:
+            nrm = None
+        idx = mesh.indices.astype(np.int64)
+        tv0, tv1, tv2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+        v0s.append(tv0)
+        v1s.append(tv1)
+        v2s.append(tv2)
+        if nrm is not None:
+            n_list.append(np.stack([nrm[idx[:, 0]], nrm[idx[:, 1]],
+                                    nrm[idx[:, 2]]], axis=1))
+        else:
+            # fall back to the geometric normal at every corner
+            gn = np.cross(tv1 - tv0, tv2 - tv0)
+            gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True),
+                                 1e-20)
+            n_list.append(np.stack([gn, gn, gn], axis=1))
+        if mesh.uvs is not None:
+            uv = mesh.uvs.astype(np.float64)
+            uv_list.append(np.stack([uv[idx[:, 0]], uv[idx[:, 1]],
+                                     uv[idx[:, 2]]], axis=1))
+        else:
+            uv_list.append(np.zeros((len(idx), 3, 2)))
+        mat_ids.append(np.full(len(idx), len(mats), np.int64))
+        mats.append(mesh.material)
+
+    v0 = np.concatenate(v0s).astype(np.float32)
+    v1 = np.concatenate(v1s).astype(np.float32)
+    v2 = np.concatenate(v2s).astype(np.float32)
+    normals = np.concatenate(n_list).astype(np.float32)
+    uvs = np.concatenate(uv_list).astype(np.float32)
+    tri_mat = np.concatenate(mat_ids).astype(np.int32)
+    t_real = len(v0)
+
+    # --- BVH over real triangles, then reorder attributes to match leaves
+    if build_bvh:
+        tree = bvh_mod.build_bvh(v0, v1, v2)
+        order = tree.tri_order
+        v0, v1, v2 = v0[order], v1[order], v2[order]
+        normals, uvs, tri_mat = normals[order], uvs[order], tri_mat[order]
+        bvh_arrays = (tree.node_min, tree.node_max, tree.node_skip,
+                      tree.node_first, tree.node_count)
+    else:
+        bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
+                      np.ones(1, np.int32), np.zeros(1, np.int32),
+                      np.zeros(1, np.int32))
+
+    # --- pad to multiple (degenerate far-away triangles never hit)
+    t_pad = -(-t_real // PAD_MULTIPLE) * PAD_MULTIPLE
+    pad = t_pad - t_real
+
+    def _pad(a, fill=0.0):
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+
+    e1 = _pad(v1 - v0, 0.0)
+    e2 = _pad(v2 - v0, 0.0)
+    v0 = _pad(v0, 1e10)
+    normals = _pad(normals, 0.0)
+    uvs = _pad(uvs, 0.0)
+    tri_mat = _pad(tri_mat, 0)
+    tri_valid = np.concatenate(
+        [np.ones(t_real, bool), np.zeros(pad, bool)])
+
+    # --- material table
+    m = len(mats)
+    mat_albedo = np.stack([mt.base_color for mt in mats]).astype(np.float32)
+    mat_metallic = np.array([mt.metallic for mt in mats], np.float32)
+    mat_roughness = np.array([mt.roughness for mt in mats], np.float32)
+    mat_ior = np.array([mt.ior for mt in mats], np.float32)
+    mat_type = np.array([MATERIAL_NAMES[mt.mat_type] for mt in mats],
+                        np.int32)
+    mat_albedo_tex = np.array([mt.albedo_texture for mt in mats], np.int32)
+    mat_mr_tex = np.array([mt.metal_rough_texture for mt in mats], np.int32)
+    mat_normal_tex = np.array([mt.normal_texture for mt in mats], np.int32)
+
+    # --- textures
+    if model.textures:
+        tex = np.stack([_resize_texture(t.pixels, texture_res)
+                        for t in model.textures])
+    else:
+        tex = np.zeros((1, texture_res, texture_res, 4), np.float32)
+
+    # --- lights
+    lights = lights or []
+    if lights:
+        light_pos = np.stack([np.asarray(l.position, np.float32)
+                              for l in lights])
+        light_color = np.stack([np.asarray(l.color, np.float32)
+                                for l in lights])
+    else:
+        light_pos = np.zeros((0, 3), np.float32)
+        light_color = np.zeros((0, 3), np.float32)
+
+    return SceneData(
+        tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1), tri_e2=jnp.asarray(e2),
+        tri_normals=jnp.asarray(normals), tri_uvs=jnp.asarray(uvs),
+        tri_mat=jnp.asarray(tri_mat), tri_valid=jnp.asarray(tri_valid),
+        mat_albedo=jnp.asarray(mat_albedo),
+        mat_metallic=jnp.asarray(mat_metallic),
+        mat_roughness=jnp.asarray(mat_roughness),
+        mat_ior=jnp.asarray(mat_ior),
+        mat_type=jnp.asarray(mat_type),
+        mat_albedo_tex=jnp.asarray(mat_albedo_tex),
+        mat_mr_tex=jnp.asarray(mat_mr_tex),
+        mat_normal_tex=jnp.asarray(mat_normal_tex),
+        textures=jnp.asarray(tex),
+        light_pos=jnp.asarray(light_pos),
+        light_color=jnp.asarray(light_color),
+        bvh_min=jnp.asarray(bvh_arrays[0]),
+        bvh_max=jnp.asarray(bvh_arrays[1]),
+        bvh_skip=jnp.asarray(bvh_arrays[2]),
+        bvh_first=jnp.asarray(bvh_arrays[3]),
+        bvh_count=jnp.asarray(bvh_arrays[4]),
+    )

@@ -1,0 +1,289 @@
+"""Procedural geometry + the six preset test scenes.
+
+The reference hard-codes six scenes (`main.cpp:6-78`) that load glTF assets
+which are NOT shipped in its repo - only camera poses and lights are known.
+We rebuild equivalent scenes procedurally (sphere grids, Cornell box, a
+displaced-sphere "dragon" stand-in) with the documented camera/light presets,
+and use them both as renderer test scenes and as generators for glTF
+round-trip tests of the loader.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..camera import Camera, blender_to_engine_position
+from .types import Material, Mesh, Model, PointLight
+
+
+def uv_sphere(radius=1.0, center=(0, 0, 0), n_theta=32, n_phi=64,
+              material=None, name="sphere"):
+    """Lat-long sphere mesh with smooth normals."""
+    theta = np.linspace(0.0, np.pi, n_theta + 1)
+    phi = np.linspace(0.0, 2.0 * np.pi, n_phi + 1)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    x = np.sin(tt) * np.cos(pp)
+    y = np.cos(tt)
+    z = np.sin(tt) * np.sin(pp)
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    normals = pos.copy()
+    uvs = np.stack([pp / (2 * np.pi), 1.0 - tt / np.pi],
+                   axis=-1).reshape(-1, 2)
+    pos = pos * radius + np.asarray(center)
+
+    def vid(i, j):
+        return i * (n_phi + 1) + j
+
+    faces = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            if i > 0:
+                faces.append([a, b, c])
+            if i < n_theta - 1:
+                faces.append([b, d, c])
+    return Mesh(positions=pos.astype(np.float32),
+                indices=np.asarray(faces, np.int32),
+                normals=normals.astype(np.float32),
+                uvs=uvs.astype(np.float32),
+                material=material or Material(), name=name)
+
+
+def quad(corner, edge_u, edge_v, material=None, name="quad"):
+    """Two-triangle quad; normal = cross(edge_u, edge_v)."""
+    c = np.asarray(corner, np.float64)
+    u = np.asarray(edge_u, np.float64)
+    v = np.asarray(edge_v, np.float64)
+    pos = np.stack([c, c + u, c + u + v, c + v])
+    n = np.cross(u, v)
+    n = n / np.linalg.norm(n)
+    normals = np.tile(n, (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return Mesh(positions=pos.astype(np.float32), indices=faces,
+                normals=normals.astype(np.float32), uvs=uvs,
+                material=material or Material(), name=name)
+
+
+def box(center, half_extent, material=None, name="box", inward=False):
+    """Axis-aligned box from 6 quads; inward=True flips faces (room)."""
+    cx, cy, cz = center
+    hx, hy, hz = (half_extent, half_extent, half_extent) \
+        if np.isscalar(half_extent) else half_extent
+    meshes = []
+    faces = [
+        ((cx - hx, cy - hy, cz - hz), (2 * hx, 0, 0), (0, 2 * hy, 0)),  # back
+        ((cx - hx, cy - hy, cz + hz), (0, 2 * hy, 0), (2 * hx, 0, 0)),  # front
+        ((cx - hx, cy - hy, cz - hz), (0, 0, 2 * hz), (2 * hx, 0, 0)),  # floor
+        ((cx - hx, cy + hy, cz - hz), (2 * hx, 0, 0), (0, 0, 2 * hz)),  # ceil
+        ((cx - hx, cy - hy, cz - hz), (0, 2 * hy, 0), (0, 0, 2 * hz)),  # left
+        ((cx + hx, cy - hy, cz - hz), (0, 0, 2 * hz), (0, 2 * hy, 0)),  # right
+    ]
+    all_pos, all_n, all_uv, all_f = [], [], [], []
+    base = 0
+    for corner, eu, ev in faces:
+        if inward:
+            eu, ev = ev, eu
+        q = quad(corner, eu, ev)
+        all_pos.append(q.positions)
+        all_n.append(q.normals)
+        all_uv.append(q.uvs)
+        all_f.append(q.indices + base)
+        base += 4
+    return Mesh(positions=np.concatenate(all_pos),
+                indices=np.concatenate(all_f),
+                normals=np.concatenate(all_n),
+                uvs=np.concatenate(all_uv),
+                material=material or Material(), name=name)
+
+
+def bumpy_sphere(radius=0.6, center=(0, 0, 0), material=None,
+                 name="bumpy", n_theta=48, n_phi=96, bump=0.08, freq=6.0):
+    """Displaced sphere - a procedural stand-in for the dragon meshes of
+    reference scenes 4/5 (assets not shipped)."""
+    mesh = uv_sphere(1.0, (0, 0, 0), n_theta, n_phi, material, name)
+    p = mesh.positions.astype(np.float64)
+    disp = 1.0 + bump * (np.sin(freq * p[:, 0]) * np.sin(freq * p[:, 1])
+                         * np.sin(freq * p[:, 2]))
+    newp = p * disp[:, None] * radius + np.asarray(center)
+    mesh.positions = newp.astype(np.float32)
+    # recompute smooth-ish normals from faces
+    n = np.zeros_like(newp)
+    f = mesh.indices.astype(np.int64)
+    fn = np.cross(newp[f[:, 1]] - newp[f[:, 0]], newp[f[:, 2]] - newp[f[:, 0]])
+    for k in range(3):
+        np.add.at(n, f[:, k], fn)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    mesh.normals = n.astype(np.float32)
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# The five README material-test scenes + six presets (main.cpp:6-78).
+# Engine coordinates: x out of monitor, y up, z left (main.cpp:83-84).
+# ---------------------------------------------------------------------------
+
+_CAM_FRONT = dict(position=(3.85382, 0.0, 1.0), rotation_degrees=(90.0, 0.0, 90.0))
+
+
+def _room(size=2.0, y_base=0.0):
+    """An open-front room: 5 inward-facing walls, no +x wall, so the preset
+    cameras (which sit at x ~ 3.85, outside) see inside - the Cornell-box
+    arrangement the reference scenes render."""
+    wall = Material(base_color=np.array([0.73, 0.73, 0.73], np.float32),
+                    metallic=0.0, roughness=0.9, mat_type="diffuse")
+    s = size / 2
+    y0, y1 = y_base, y_base + size
+    meshes_quads = [
+        # floor (+y normal)
+        quad((-s, y0, -s), (0, 0, 2 * s), (2 * s, 0, 0), wall, "room_floor"),
+        # ceiling (-y normal)
+        quad((-s, y1, -s), (2 * s, 0, 0), (0, 0, 2 * s), wall, "room_ceil"),
+        # back wall at x=-s (+x normal)
+        quad((-s, y0, -s), (0, 2 * s, 0), (0, 0, 2 * s), wall, "room_back"),
+        # side wall at z=-s (+z normal)
+        quad((-s, y0, -s), (2 * s, 0, 0), (0, 2 * s, 0), wall, "room_left"),
+        # side wall at z=+s (-z normal)
+        quad((-s, y0, s), (0, 2 * s, 0), (2 * s, 0, 0), wall, "room_right"),
+    ]
+    pos = np.concatenate([m.positions for m in meshes_quads])
+    nrm = np.concatenate([m.normals for m in meshes_quads])
+    uv = np.concatenate([m.uvs for m in meshes_quads])
+    faces = np.concatenate([m.indices + 4 * i
+                            for i, m in enumerate(meshes_quads)])
+    return Mesh(positions=pos, indices=faces, normals=nrm, uvs=uv,
+                material=wall, name="room")
+
+
+def _sphere_grid(mat_fn, rows=3, cols=3, radius=0.22, spacing=0.6,
+                 y_center=1.0):
+    """Grid of spheres with varying roughness - the classic material test."""
+    meshes = []
+    for i in range(rows):
+        for j in range(cols):
+            rough = j / max(cols - 1, 1)
+            z = (j - (cols - 1) / 2) * spacing
+            y = y_center + (i - (rows - 1) / 2) * spacing
+            meshes.append(uv_sphere(radius, (0.0, y, z), 24, 48,
+                                    mat_fn(i, j, rough),
+                                    name=f"sphere_{i}_{j}"))
+    return meshes
+
+
+def scene_material_test(material_kind: str):
+    """One of the five README scenes: a sphere grid of the given material in
+    a diffuse room, four point lights (reference Scene1 lighting,
+    `main.cpp:6-18`)."""
+    def mat(i, j, rough):
+        base = np.array([0.8, 0.8, 0.8], np.float32)
+        if material_kind == "conductor":
+            base = np.array([0.95, 0.64, 0.54], np.float32)  # copper-ish
+            return Material(base_color=base, metallic=1.0, roughness=rough,
+                            mat_type="conductor")
+        if material_kind == "diffuse":
+            return Material(base_color=np.array([0.65, 0.25, 0.2],
+                                                np.float32),
+                            roughness=1.0, mat_type="diffuse")
+        if material_kind == "dielectric":
+            return Material(base_color=base, roughness=rough,
+                            mat_type="dielectric")
+        if material_kind == "layered":
+            return Material(base_color=np.array([0.2, 0.35, 0.65],
+                                                np.float32),
+                            roughness=rough, mat_type="glossy_diffuse")
+        raise ValueError(material_kind)
+
+    model = Model(meshes=_sphere_grid(mat) + [_room(3.0)])
+    camera = Camera.from_blender(**_CAM_FRONT)
+    lc = np.ones(3, np.float32)
+    lights = [
+        PointLight(blender_to_engine_position((1.33906, -0.7, 0.299367)), lc),
+        PointLight(blender_to_engine_position((1.33906, 0.7, 0.299367)), lc),
+        PointLight(blender_to_engine_position((1.33906, 0.7, 1.69937)), lc),
+        PointLight(blender_to_engine_position((1.33906, -0.7, 1.69937)), lc),
+    ]
+    return model, camera, lights
+
+
+def scene_cornell():
+    """Cornell-style diffuse box (reference Scene3, `main.cpp:33-42`)."""
+    white = Material(base_color=np.array([0.73, 0.73, 0.73], np.float32),
+                     mat_type="diffuse")
+    red = Material(base_color=np.array([0.65, 0.05, 0.05], np.float32),
+                   mat_type="diffuse")
+    green = Material(base_color=np.array([0.12, 0.45, 0.15], np.float32),
+                     mat_type="diffuse")
+    s = 1.0  # half extent; room is 2x2x2 centered (0, 1, 0)
+    meshes = [
+        quad((-s, 0, -s), (0, 0, 2 * s), (2 * s, 0, 0), white, "floor"),
+        quad((-s, 2 * s, -s), (2 * s, 0, 0), (0, 0, 2 * s), white, "ceiling"),
+        quad((-s, 0, -s), (0, 2 * s, 0), (0, 0, 2 * s), white, "back"),
+        quad((-s, 0, -s), (2 * s, 0, 0), (0, 2 * s, 0), green, "right"),
+        quad((-s, 0, s), (0, 2 * s, 0), (2 * s, 0, 0), red, "left"),
+        box((0.3, 0.3, -0.35), 0.3, white, "short_box"),
+        box((-0.35, 0.6, 0.3), (0.3, 0.6, 0.3), white, "tall_box"),
+    ]
+    camera = Camera.from_blender(**_CAM_FRONT)
+    lights = [PointLight(blender_to_engine_position((0, 0, 1.69221)),
+                         np.ones(3, np.float32))]
+    return Model(meshes=meshes), camera, lights
+
+
+def scene_dragon(layered: bool):
+    """Reference Scene4/5 stand-in: a bumpy sphere "dragon" on a floor
+    (`main.cpp:45-66`)."""
+    if layered:
+        mat = Material(base_color=np.array([0.1, 0.3, 0.65], np.float32),
+                       roughness=0.2, mat_type="glossy_diffuse")
+    else:
+        mat = Material(base_color=np.array([0.9, 0.75, 0.4], np.float32),
+                       metallic=1.0, roughness=0.25, mat_type="conductor")
+    meshes = [
+        bumpy_sphere(0.55, (0.0, 0.75, 0.0), mat, "dragon"),
+        _room(3.0),
+    ]
+    camera = Camera.from_blender(**_CAM_FRONT)
+    lights = [PointLight(blender_to_engine_position((0, 0, 1.69221)),
+                         np.ones(3, np.float32))]
+    return Model(meshes=meshes), camera, lights
+
+
+def scene_sponza_standin(up_view=False):
+    """Reference Scene2/6 stand-in: a colonnade of boxes in a long hall
+    (Sponza assets not shipped; this reproduces the scale + light preset,
+    `main.cpp:21-30,69-78`)."""
+    wall = Material(base_color=np.array([0.55, 0.5, 0.45], np.float32),
+                    mat_type="diffuse")
+    meshes = [box((0.0, 4.0, 0.0), (12.0, 4.0, 6.0), wall, "hall",
+                  inward=True)]
+    col = Material(base_color=np.array([0.6, 0.55, 0.5], np.float32),
+                   roughness=0.6, mat_type="glossy_diffuse")
+    for i in range(-3, 4):
+        for zs in (-3.0, 3.0):
+            meshes.append(box((i * 3.0, 2.0, zs), (0.3, 2.0, 0.3), col,
+                              f"col_{i}_{zs}"))
+    if up_view:
+        camera = Camera.from_blender((10.3184, 3.66455, 5.19961),
+                                     (90.0, 0.0, 90.0))
+    else:
+        camera = Camera.from_blender((-0.977644, -0.366231, 1.0745),
+                                     (89.1897, 0.0, 77.765))
+    lights = [PointLight(blender_to_engine_position((0.0, 0.0, 4.12939)),
+                         np.full(3, 100.0, np.float32))]
+    return Model(meshes=meshes), camera, lights
+
+
+PRESETS = {
+    # reference main.cpp Scene1..Scene6
+    "scene1_spheres": lambda: scene_material_test("conductor"),
+    "scene2_sponza_middle": lambda: scene_sponza_standin(False),
+    "scene3_cornell": scene_cornell,
+    "scene4_dragon_glossy": lambda: scene_dragon(False),
+    "scene5_dragon_layered": lambda: scene_dragon(True),
+    "scene6_sponza_up": lambda: scene_sponza_standin(True),
+    # the five README material scenes
+    "conductor": lambda: scene_material_test("conductor"),
+    "diffuse": lambda: scene_material_test("diffuse"),
+    "dielectric": lambda: scene_material_test("dielectric"),
+    "layered": lambda: scene_material_test("layered"),
+}
