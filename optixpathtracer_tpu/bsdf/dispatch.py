@@ -72,39 +72,58 @@ def resolve_stochastic_lobe(seed, mat: MaterialParams):
     return seed, mat._replace(mat_type=new_type.astype(jnp.int32))
 
 
-def f(seed, mat: MaterialParams, wo, wi):
-    """Evaluate the BSDF for every lane (resolved types only - call
-    `resolve_stochastic_lobe` first). Returns (seed, rgb)."""
-    f_diffuse = _diffuse.f(mat.albedo, wo, wi)
-    f_conductor = _conductor.f(mat.albedo, mat.roughness, wo, wi)
-    # Pure dielectric lobe modulated by albedo as in the reference's
-    # commented dispatch (`devicePrograms.cu:333`).
-    f_dielectric = (_dielectric.f(mat.roughness, wo, wi, eta=mat.ior)
-                    * mat.albedo)
-    seed, f_glossy = _glossy.f(seed, mat.albedo, mat.roughness, wo, wi,
-                               eta=mat.ior)
+ALL_LOBES = (DIFFUSE, CONDUCTOR, DIELECTRIC, GLOSSY_DIFFUSE)
 
+
+def f(seed, mat: MaterialParams, wo, wi, active_lobes=ALL_LOBES):
+    """Evaluate the BSDF for every lane (resolved types only - call
+    `resolve_stochastic_lobe` first). Returns (seed, rgb).
+
+    active_lobes (a static tuple) prunes lobes absent from the scene's
+    material table - the wavefront pays only for lobe types that exist
+    (e.g. an all-diffuse Cornell never traces the layered walk).
+    """
     t = mat.mat_type[..., None]
-    out = jnp.where(t == DIFFUSE, f_diffuse,
-          jnp.where(t == CONDUCTOR, f_conductor,
-          jnp.where(t == DIELECTRIC, f_dielectric, f_glossy)))
+    out = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    if DIFFUSE in active_lobes:
+        out = jnp.where(t == DIFFUSE, _diffuse.f(mat.albedo, wo, wi), out)
+    if CONDUCTOR in active_lobes:
+        out = jnp.where(t == CONDUCTOR,
+                        _conductor.f(mat.albedo, mat.roughness, wo, wi), out)
+    if DIELECTRIC in active_lobes:
+        # Pure dielectric lobe modulated by albedo as in the reference's
+        # commented dispatch (`devicePrograms.cu:333`).
+        out = jnp.where(t == DIELECTRIC,
+                        _dielectric.f(mat.roughness, wo, wi, eta=mat.ior)
+                        * mat.albedo, out)
+    if GLOSSY_DIFFUSE in active_lobes:
+        seed, f_glossy = _glossy.f(seed, mat.albedo, mat.roughness, wo, wi,
+                                   eta=mat.ior)
+        out = jnp.where(t == GLOSSY_DIFFUSE, f_glossy, out)
     return seed, out
 
 
-def sample(seed, mat: MaterialParams, wo):
+def sample(seed, mat: MaterialParams, wo, active_lobes=ALL_LOBES):
     """Importance-sample the BSDF per lane. Returns (seed, BSDFSample)."""
-    seed, s_diffuse = _diffuse.sample(seed, mat.albedo, wo)
-    seed, s_conductor = _conductor.sample(seed, mat.albedo, mat.roughness, wo)
-    seed, s_dielectric = _dielectric.sample(seed, mat.roughness, wo,
-                                            eta=mat.ior)
-    s_dielectric = s_dielectric._replace(color=s_dielectric.color * mat.albedo)
-    seed, s_glossy = _glossy.sample(seed, mat.albedo, mat.roughness, wo,
-                                    eta=mat.ior)
-
     t = mat.mat_type
-    out = where_sample(t == DIFFUSE, s_diffuse,
-          where_sample(t == CONDUCTOR, s_conductor,
-          where_sample(t == DIELECTRIC, s_dielectric, s_glossy)))
+    out = BSDFSample.invalid(wo.shape[:-1])
+    if DIFFUSE in active_lobes:
+        seed, s_diffuse = _diffuse.sample(seed, mat.albedo, wo)
+        out = where_sample(t == DIFFUSE, s_diffuse, out)
+    if CONDUCTOR in active_lobes:
+        seed, s_conductor = _conductor.sample(seed, mat.albedo,
+                                              mat.roughness, wo)
+        out = where_sample(t == CONDUCTOR, s_conductor, out)
+    if DIELECTRIC in active_lobes:
+        seed, s_dielectric = _dielectric.sample(seed, mat.roughness, wo,
+                                                eta=mat.ior)
+        s_dielectric = s_dielectric._replace(
+            color=s_dielectric.color * mat.albedo)
+        out = where_sample(t == DIELECTRIC, s_dielectric, out)
+    if GLOSSY_DIFFUSE in active_lobes:
+        seed, s_glossy = _glossy.sample(seed, mat.albedo, mat.roughness, wo,
+                                        eta=mat.ior)
+        out = where_sample(t == GLOSSY_DIFFUSE, s_glossy, out)
     return seed, out
 
 

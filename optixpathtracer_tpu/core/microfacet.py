@@ -79,7 +79,16 @@ def pdf(w, wm, alpha):
 
 def sample_wm(seed, w, alpha):
     """Sample a visible microfacet normal (VNDF, hemispherical warp)
-    (reference `Microfacet.h:90-119`). Returns (seed, wm)."""
+    (reference `Microfacet.h:90-119`). Returns (seed, wm).
+
+    alpha is DETACHED here (stop_gradient): this is the detached-sampling
+    estimator (SURVEY.md section 7 stage 6) - sample locations don't carry
+    parameter gradients; the BSDF value and pdf evaluated at the sampled wm
+    keep their live alpha dependence, which yields unbiased material
+    gradients without differentiating through the sampling warp.
+    """
+    import jax
+    alpha = jax.lax.stop_gradient(alpha)
     a = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32)[..., None],
                          w.shape[:-1] + (2,))
     # Transform w to hemispherical configuration

@@ -37,7 +37,7 @@ SHADOW_OFFSET = 1e-3
 BETA_EPS = 1e-5
 
 
-def _nee(seed, scene, surf, beta, alive, intersect_method):
+def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes):
     """Direct lighting from one uniformly-picked point light
     (`devicePrograms.cu:444-472`, `LightMethods.h`). Returns (seed, contrib).
     """
@@ -69,7 +69,8 @@ def _nee(seed, scene, surf, beta, alive, intersect_method):
     visible = ~blocked & alive
 
     wl_local = surf.to_local(wl)
-    seed, f_val = dispatch.f(seed, surf.mat, surf.wo_local, wl_local)
+    seed, f_val = dispatch.f(seed, surf.mat, surf.wo_local, wl_local,
+                             active_lobes)
     cos_term = jnp.abs(wl_local[..., 2])
 
     # L = color / d^2, pdf == 1 (`LightMethods.h:17-23`)
@@ -80,7 +81,9 @@ def _nee(seed, scene, surf, beta, alive, intersect_method):
 
 def trace_paths(scene, o, d, seed, max_bounces: int,
                 intersect_method: str = "auto",
-                reference_compat: bool = False):
+                reference_compat: bool = False,
+                active_lobes=dispatch.ALL_LOBES,
+                use_textures: bool = True):
     """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
     Returns (radiance [R, 3], seed)."""
     r = o.shape[0]
@@ -95,15 +98,17 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
         alive = alive & hit.hit
 
         seed, surf = make_surface(seed, scene, o, d, hit,
-                                  reference_compat=reference_compat)
+                                  reference_compat=reference_compat,
+                                  use_textures=use_textures)
 
         # --- NEE
         seed, nee_contrib = _nee(seed, scene, surf, beta, alive,
-                                 intersect_method)
+                                 intersect_method, active_lobes)
         radiance = radiance + jnp.where(alive[..., None], nee_contrib, 0.0)
 
         # --- BSDF sample + throughput update (`devicePrograms.cu:474-509`)
-        seed, bs = dispatch.sample(seed, surf.mat, surf.wo_local)
+        seed, bs = dispatch.sample(seed, surf.mat, surf.wo_local,
+                                   active_lobes)
         ok = bs.valid & (bs.pdf > 0.0)
         new_beta = (beta * bs.color * abs_cos_theta(bs.direction)[..., None]
                     / jnp.where(bs.pdf == 0.0, 1.0, bs.pdf)[..., None])
@@ -123,12 +128,15 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces",
-                                   "intersect_method", "reference_compat"))
+                                   "intersect_method", "reference_compat",
+                                   "active_lobes", "use_textures"))
 def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   width: int, height: int, frame_id,
                   max_bounces: int = 2,
                   intersect_method: str = "auto",
-                  reference_compat: bool = False):
+                  reference_compat: bool = False,
+                  active_lobes=dispatch.ALL_LOBES,
+                  use_textures: bool = True):
     """Render one 1-spp frame: [H, W, 3] linear radiance (row 0 = bottom,
     GL convention like the reference framebuffer).
 
@@ -145,14 +153,16 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
     seed = rng.pixel_seed(width, xs.reshape(-1), ys.reshape(-1), frame_id)
 
     radiance, _ = trace_paths(scene, o, d, seed, max_bounces,
-                              intersect_method, reference_compat)
+                              intersect_method, reference_compat,
+                              active_lobes, use_textures)
     return radiance.reshape(height, width, 3)
 
 
 def render(scene, camera, width: int, height: int, spp: int,
            max_bounces: int = 2, intersect_method: str = "auto",
            reference_compat: bool = False, start_frame: int = 0,
-           accum=None, callback=None):
+           accum=None, callback=None, active_lobes=None,
+           use_textures=None):
     """Progressive render: accumulate `spp` 1-spp frames into a running mean
     (the on-device analog of the reference's GL accumulation shader,
     `AddPathtracedFrame.frag:13-25` endless-mode weight 1/samples).
@@ -160,6 +170,12 @@ def render(scene, camera, width: int, height: int, spp: int,
     Supports resume: pass `accum` (the running mean) and `start_frame` from a
     checkpoint. Returns the accumulated [H, W, 3] image (device array).
     """
+    if active_lobes is None:
+        from ..scene.flatten import scene_active_lobes
+        active_lobes = scene_active_lobes(scene)
+    if use_textures is None:
+        from ..scene.flatten import scene_uses_textures
+        use_textures = scene_uses_textures(scene)
     pos, inv_view, inv_proj = camera.raygen_params(width, height)
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
@@ -167,7 +183,7 @@ def render(scene, camera, width: int, height: int, spp: int,
     for s in range(start_frame, start_frame + spp):
         frame = render_sample(scene, pos, inv_view, inv_proj, width, height,
                               jnp.uint32(s), max_bounces, intersect_method,
-                              reference_compat)
+                              reference_compat, active_lobes, use_textures)
         # running mean: mix(prev, new, 1/(s+1))
         weight = 1.0 / (s + 1)
         accum = accum + (frame - accum) * weight

@@ -37,9 +37,14 @@ class Surface(NamedTuple):
         return to_local(self.tangent, self.bitangent, self.s_normal, v_world)
 
 
-def make_surface(seed, scene, o, d, hit, reference_compat: bool = False):
+def make_surface(seed, scene, o, d, hit, reference_compat: bool = False,
+                 use_textures: bool = True):
     """Build the shading context for every lane (misses produce garbage that
     callers mask with hit.hit). Returns (seed, Surface).
+
+    use_textures=False (static) skips every texture gather - flatten-time
+    analysis (scene_uses_textures) sets it so untextured scenes never pay
+    the bilinear fetch (4 dynamic gathers x 3 maps per lane).
 
     reference_compat=True reproduces two reference bugs (SURVEY.md quirks):
     metallic read from the texture R channel instead of glTF-spec B
@@ -96,31 +101,36 @@ def make_surface(seed, scene, o, d, hit, reference_compat: bool = False):
         mr_tex = scene.mat_mr_tex[mat_id]
         nrm_tex = scene.mat_normal_tex[mat_id]
 
-    has_albedo = albedo_tex >= 0
-    tex_a = sample_bilinear(scene.textures, albedo_tex, uv[..., 0], uv[..., 1])
-    tex_a = srgb_to_linear(tex_a)
-    albedo = jnp.where(has_albedo[..., None], albedo * tex_a[..., :3], albedo)
+    if use_textures:
+        has_albedo = albedo_tex >= 0
+        tex_a = sample_bilinear(scene.textures, albedo_tex,
+                                uv[..., 0], uv[..., 1])
+        tex_a = srgb_to_linear(tex_a)
+        albedo = jnp.where(has_albedo[..., None], albedo * tex_a[..., :3],
+                           albedo)
 
-    has_mr = mr_tex >= 0
-    tex_mr = sample_bilinear(scene.textures, mr_tex, uv[..., 0], uv[..., 1])
-    if reference_compat:
-        # reference reads metallic from R (`devicePrograms.cu:163`)
-        metallic = jnp.where(has_mr, tex_mr[..., 0], metallic)
-    else:
-        # glTF spec: metallic = B, scaled by the factor
-        metallic = jnp.where(has_mr, metallic * tex_mr[..., 2], metallic)
-    rough_from_tex = tex_mr[..., 1] if reference_compat \
-        else roughness * tex_mr[..., 1]
-    roughness = jnp.where(has_mr, rough_from_tex, roughness)
+        has_mr = mr_tex >= 0
+        tex_mr = sample_bilinear(scene.textures, mr_tex,
+                                 uv[..., 0], uv[..., 1])
+        if reference_compat:
+            # reference reads metallic from R (`devicePrograms.cu:163`)
+            metallic = jnp.where(has_mr, tex_mr[..., 0], metallic)
+        else:
+            # glTF spec: metallic = B, scaled by the factor
+            metallic = jnp.where(has_mr, metallic * tex_mr[..., 2], metallic)
+        rough_from_tex = tex_mr[..., 1] if reference_compat \
+            else roughness * tex_mr[..., 1]
+        roughness = jnp.where(has_mr, rough_from_tex, roughness)
 
-    # Normal mapping via an on-the-fly tangent frame from the shading normal
-    # (`devicePrograms.cu:168-212,403-409`; the reference deliberately
-    # ignores the mesh tangents).
-    has_nrm = nrm_tex >= 0
-    tex_n = sample_bilinear(scene.textures, nrm_tex, uv[..., 0], uv[..., 1])
-    t0, b0 = build_tangent_space(ns)
-    mapped = normalize(to_world(t0, b0, ns, tex_n[..., :3] * 2.0 - 1.0))
-    ns = jnp.where(has_nrm[..., None], mapped, ns)
+        # Normal mapping via an on-the-fly tangent frame from the shading
+        # normal (`devicePrograms.cu:168-212,403-409`; the reference
+        # deliberately ignores the mesh tangents).
+        has_nrm = nrm_tex >= 0
+        tex_n = sample_bilinear(scene.textures, nrm_tex,
+                                uv[..., 0], uv[..., 1])
+        t0, b0 = build_tangent_space(ns)
+        mapped = normalize(to_world(t0, b0, ns, tex_n[..., :3] * 2.0 - 1.0))
+        ns = jnp.where(has_nrm[..., None], mapped, ns)
 
     # Final shading frame (`devicePrograms.cu:412-416`).
     tangent, bitangent = build_tangent_space(ns)

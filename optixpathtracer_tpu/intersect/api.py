@@ -18,9 +18,29 @@ from ..core.math import cross, dot
 from . import brute, bvh_traverse
 from .types import Hit
 
-# Scenes below this triangle count use the dense brute-force kernel (cheaper
+# Scenes below this triangle count use a dense all-pairs kernel (cheaper
 # than divergent traversal); above it, the BVH.
 BRUTE_FORCE_MAX_TRIS = 2048
+
+
+def _resolve(method: str, scene) -> str:
+    if method != "auto":
+        return method
+    n = scene.tri_v0.shape[0]
+    if jax.default_backend() == "tpu":
+        # Measured on v5e: the dense Pallas sweep beats the vmapped
+        # while-loop BVH by ~45x at 20k tris (gather-heavy divergent
+        # traversal is pathological on TPU). Route everything dense until
+        # the hierarchical Pallas kernel lands.
+        return "pallas"
+    return "brute" if n <= BRUTE_FORCE_MAX_TRIS else "bvh"
+
+
+def _engine(method: str):
+    if method == "pallas":
+        from . import pallas_kernels
+        return pallas_kernels
+    return brute if method == "brute" else bvh_traverse
 
 
 def _refine(scene, o, d, hit: Hit, tmax):
@@ -45,17 +65,15 @@ def _refine(scene, o, d, hit: Hit, tmax):
         u=jnp.where(live, u, 0.0),
         v=jnp.where(live, v, 0.0),
         hit=live,
-        back_face=hit.back_face,
+        # recomputed here so engines only need to report (t, tri_id)
+        back_face=live & (det < 0.0),
     )
 
 
 def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
     """Closest-hit query with differentiable refinement. method in
     {'auto', 'brute', 'bvh'}."""
-    if method == "auto":
-        method = ("brute" if scene.tri_v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
-                  else "bvh")
-    engine = brute if method == "brute" else bvh_traverse
+    engine = _engine(_resolve(method, scene))
     o_det = jax.lax.stop_gradient(o)
     d_det = jax.lax.stop_gradient(d)
     scene_det = jax.lax.stop_gradient(scene)
@@ -70,10 +88,7 @@ def intersect_any(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
     """Occlusion query (boolean, non-differentiable by design - visibility
     is a step function; its gradient contribution is dropped as in standard
     detached-sampling differentiable renderers)."""
-    if method == "auto":
-        method = ("brute" if scene.tri_v0.shape[0] <= BRUTE_FORCE_MAX_TRIS
-                  else "bvh")
-    engine = brute if method == "brute" else bvh_traverse
+    engine = _engine(_resolve(method, scene))
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     scene = jax.lax.stop_gradient(scene)

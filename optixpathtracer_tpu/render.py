@@ -1,0 +1,97 @@
+"""High-level rendering API: config -> scene -> progressive render -> files.
+
+The orchestration layer replacing the reference's OptixView/main
+(`OptixView.cpp:130-185` run loop, `main.cpp`), with the capabilities the
+reference lacks (SURVEY.md section 5): checkpoint/resume of the accumulator,
+structured progress logging, and in-repo metrics.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import Camera
+from .config import RenderConfig
+from .film import write_bmp, write_exr, write_png
+from .integrate.path import render_sample
+from .scene import flatten_model
+from .scene.flatten import scene_active_lobes, scene_uses_textures
+from .scene.gltf import load_gltf
+from .scene.procedural import PRESETS
+from .scene.types import PointLight
+
+
+def load_scene(cfg: RenderConfig):
+    """Resolve cfg.scene to (SceneData, Camera)."""
+    if cfg.scene in PRESETS:
+        model, camera, lights = PRESETS[cfg.scene]()
+    elif os.path.exists(cfg.scene):
+        model = load_gltf(cfg.scene, reference_compat=cfg.reference_compat)
+        camera = Camera.from_blender((3.85382, 0.0, 1.0), (90.0, 0.0, 90.0))
+        lights = [PointLight(np.array([0.0, 1.69221, 0.0], np.float32),
+                             np.ones(3, np.float32))]
+    else:
+        raise ValueError(f"unknown scene {cfg.scene!r} "
+                         f"(presets: {sorted(PRESETS)})")
+    return flatten_model(model, lights), camera
+
+
+def save_checkpoint(path, accum, next_frame):
+    """Accumulator + sample counter: the complete resumable render state
+    (deterministic RNG means nothing else is needed - SURVEY.md section 5.4).
+    """
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(f, accum=np.asarray(accum), next_frame=next_frame)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    data = np.load(path)
+    return jnp.asarray(data["accum"]), int(data["next_frame"])
+
+
+def render_config(cfg: RenderConfig, scene=None, camera=None):
+    """Run a full progressive render per the config. Returns the final
+    linear [H, W, 3] numpy image."""
+    if scene is None or camera is None:
+        scene, camera = load_scene(cfg)
+
+    accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    start = 0
+    if cfg.checkpoint and os.path.exists(cfg.checkpoint):
+        accum, start = load_checkpoint(cfg.checkpoint)
+        print(f"resumed from {cfg.checkpoint} at sample {start}")
+
+    lobes = scene_active_lobes(scene)
+    use_tex = scene_uses_textures(scene)
+    pos, inv_view, inv_proj = camera.raygen_params(cfg.width, cfg.height)
+    t0 = time.time()
+    for s in range(start, cfg.spp):
+        frame = render_sample(scene, pos, inv_view, inv_proj,
+                              cfg.width, cfg.height, jnp.uint32(s),
+                              cfg.max_bounces, cfg.intersect,
+                              cfg.reference_compat, lobes, use_tex)
+        accum = accum + (frame - accum) / (s + 1)
+        done = s + 1
+        if cfg.log_every and done % cfg.log_every == 0:
+            # reference heartbeat "at Sample: N" (`OptixView.cpp:159-161`)
+            rate = done / max(time.time() - t0, 1e-9)
+            print(f"at Sample: {done}/{cfg.spp} ({rate:.2f} spp/s)",
+                  flush=True)
+        if cfg.checkpoint and done % cfg.checkpoint_every == 0:
+            save_checkpoint(cfg.checkpoint, accum, done)
+
+    img = np.asarray(accum)
+    if cfg.checkpoint:
+        save_checkpoint(cfg.checkpoint, accum, cfg.spp)
+    if cfg.out_exr:
+        write_exr(cfg.out_exr, img)  # linear, like the reference's EXR
+    if cfg.out_png:
+        write_png(cfg.out_png, img, cfg.tonemap)
+    if cfg.out_bmp:
+        write_bmp(cfg.out_bmp, img, cfg.tonemap)
+    return img

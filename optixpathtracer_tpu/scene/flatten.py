@@ -70,6 +70,30 @@ class SceneData(NamedTuple):
         return self.light_pos.shape[0]
 
 
+def scene_active_lobes(scene: "SceneData"):
+    """The static tuple of BSDF lobe ids actually present in the scene's
+    material table (METALLIC_MIX resolves to conductor or layered at
+    runtime, so it activates both). Passed as a static arg so the compiled
+    wavefront only ever evaluates lobes the scene can reach."""
+    from ..bsdf import dispatch as _d
+    types = set(int(t) for t in np.asarray(scene.mat_type))
+    lobes = set()
+    for t in types:
+        if t == _d.METALLIC_MIX:
+            lobes.update((_d.CONDUCTOR, _d.GLOSSY_DIFFUSE))
+        else:
+            lobes.add(t)
+    return tuple(sorted(lobes))
+
+
+def scene_uses_textures(scene: "SceneData") -> bool:
+    """Static: does any material reference a texture? False lets the
+    compiled wavefront drop every texture gather."""
+    return bool((np.asarray(scene.mat_albedo_tex) >= 0).any()
+                or (np.asarray(scene.mat_mr_tex) >= 0).any()
+                or (np.asarray(scene.mat_normal_tex) >= 0).any())
+
+
 def _resize_texture(pixels: np.ndarray, res: int) -> np.ndarray:
     """Bilinear resample [H, W, 4] -> [res, res, 4] via PIL."""
     if pixels.shape[0] == res and pixels.shape[1] == res:
