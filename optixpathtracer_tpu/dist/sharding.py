@@ -91,7 +91,8 @@ def render_sample_sharded(mesh: Mesh, scene, cam_position, cam_inv_view,
 
 def material_grad_step(mesh: Mesh, scene, cam_params, target,
                        width: int, height: int, frame_id,
-                       lr: float = 0.05, max_bounces: int = 2):
+                       lr: float = 0.05, max_bounces: int = 2,
+                       active_lobes=None):
     """One inverse-rendering step: render sharded, L2 loss against `target`,
     gradient w.r.t. the material table (albedo/roughness/metallic/ior),
     SGD update. The grads are psum-reduced across chips by shard_map's
@@ -106,7 +107,8 @@ def material_grad_step(mesh: Mesh, scene, cam_params, target,
     def loss_fn(params):
         s = scene._replace(**params)
         img = render_sample_sharded(mesh, s, pos, inv_view, inv_proj,
-                                    width, height, frame_id, max_bounces)
+                                    width, height, frame_id, max_bounces,
+                                    active_lobes=active_lobes)
         return jnp.mean((img - target) ** 2)
 
     params = {f: getattr(scene, f) for f in diff_fields}

@@ -30,6 +30,7 @@ from ..camera.camera import generate_rays
 from ..core import rng
 from ..core.math import abs_cos_theta, length, length_sqr, normalize
 from ..intersect import intersect_any, intersect_closest
+from .cutout import intersect_any_cutout, intersect_closest_cutout
 from .surface import make_surface
 
 RAY_TMAX = 100.0
@@ -37,7 +38,8 @@ SHADOW_OFFSET = 1e-3
 BETA_EPS = 1e-5
 
 
-def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes):
+def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
+         use_alpha_cutout=False):
     """Direct lighting from one uniformly-picked point light
     (`devicePrograms.cu:444-472`, `LightMethods.h`). Returns (seed, contrib).
     """
@@ -64,8 +66,12 @@ def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes):
     # Shadow ray: offset along the geometric normal, tmax at the light
     # (`devicePrograms.cu:216-241`).
     shadow_o = surf.position + SHADOW_OFFSET * surf.g_normal
-    blocked = intersect_any(scene, shadow_o, wl, 0.0, dist,
-                            method=intersect_method)
+    if use_alpha_cutout:
+        blocked = intersect_any_cutout(scene, shadow_o, wl, 0.0, dist,
+                                       method=intersect_method)
+    else:
+        blocked = intersect_any(scene, shadow_o, wl, 0.0, dist,
+                                method=intersect_method)
     visible = ~blocked & alive
 
     wl_local = surf.to_local(wl)
@@ -83,17 +89,29 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                 intersect_method: str = "auto",
                 reference_compat: bool = False,
                 active_lobes=dispatch.ALL_LOBES,
-                use_textures: bool = True):
+                use_textures: bool = True,
+                use_alpha_cutout: bool = False,
+                debug_pixel: int | None = None):
     """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
-    Returns (radiance [R, 3], seed)."""
+    Returns (radiance [R, 3], seed).
+
+    use_alpha_cutout (static): honor albedo-alpha cutout like the
+    reference's anyhit programs (integrate/cutout.py).
+    debug_pixel (static): flat lane index whose per-bounce surface state is
+    printed - the analog of the reference's debug-ray printf facility
+    (`RayData.h:19`, `devicePrograms.cu:428-437`)."""
     r = o.shape[0]
     radiance = jnp.zeros((r, 3), jnp.float32)
     beta = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
 
     for _bounce in range(max_bounces):
-        hit = intersect_closest(scene, o, d, 0.0, RAY_TMAX,
-                                method=intersect_method)
+        if use_alpha_cutout:
+            hit = intersect_closest_cutout(scene, o, d, 0.0, RAY_TMAX,
+                                           method=intersect_method)
+        else:
+            hit = intersect_closest(scene, o, d, 0.0, RAY_TMAX,
+                                    method=intersect_method)
         # miss -> background is black; path dies with radiance unchanged
         alive = alive & hit.hit
 
@@ -101,9 +119,22 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                                   reference_compat=reference_compat,
                                   use_textures=use_textures)
 
+        if debug_pixel is not None:
+            jax.debug.print(
+                "debug ray bounce {b}: pos={pos} albedo={alb} "
+                "ns={ns} ng={ng} rough={r} metal={m} alive={a}",
+                b=_bounce, pos=surf.position[debug_pixel],
+                alb=surf.mat.albedo[debug_pixel],
+                ns=surf.s_normal[debug_pixel],
+                ng=surf.g_normal[debug_pixel],
+                r=surf.mat.roughness[debug_pixel],
+                m=surf.mat.metallic[debug_pixel],
+                a=alive[debug_pixel])
+
         # --- NEE
         seed, nee_contrib = _nee(seed, scene, surf, beta, alive,
-                                 intersect_method, active_lobes)
+                                 intersect_method, active_lobes,
+                                 use_alpha_cutout)
         radiance = radiance + jnp.where(alive[..., None], nee_contrib, 0.0)
 
         # --- BSDF sample + throughput update (`devicePrograms.cu:474-509`)
@@ -129,14 +160,17 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces",
                                    "intersect_method", "reference_compat",
-                                   "active_lobes", "use_textures"))
+                                   "active_lobes", "use_textures",
+                                   "use_alpha_cutout", "debug_pixel"))
 def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   width: int, height: int, frame_id,
                   max_bounces: int = 2,
                   intersect_method: str = "auto",
                   reference_compat: bool = False,
                   active_lobes=dispatch.ALL_LOBES,
-                  use_textures: bool = True):
+                  use_textures: bool = True,
+                  use_alpha_cutout: bool = False,
+                  debug_pixel: int | None = None):
     """Render one 1-spp frame: [H, W, 3] linear radiance (row 0 = bottom,
     GL convention like the reference framebuffer).
 
@@ -154,7 +188,8 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
 
     radiance, _ = trace_paths(scene, o, d, seed, max_bounces,
                               intersect_method, reference_compat,
-                              active_lobes, use_textures)
+                              active_lobes, use_textures,
+                              use_alpha_cutout, debug_pixel)
     return radiance.reshape(height, width, 3)
 
 
@@ -162,7 +197,7 @@ def render(scene, camera, width: int, height: int, spp: int,
            max_bounces: int = 2, intersect_method: str = "auto",
            reference_compat: bool = False, start_frame: int = 0,
            accum=None, callback=None, active_lobes=None,
-           use_textures=None):
+           use_textures=None, use_alpha_cutout=None):
     """Progressive render: accumulate `spp` 1-spp frames into a running mean
     (the on-device analog of the reference's GL accumulation shader,
     `AddPathtracedFrame.frag:13-25` endless-mode weight 1/samples).
@@ -176,6 +211,9 @@ def render(scene, camera, width: int, height: int, spp: int,
     if use_textures is None:
         from ..scene.flatten import scene_uses_textures
         use_textures = scene_uses_textures(scene)
+    if use_alpha_cutout is None:
+        from .cutout import scene_uses_alpha_cutout
+        use_alpha_cutout = scene_uses_alpha_cutout(scene)
     pos, inv_view, inv_proj = camera.raygen_params(width, height)
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
@@ -183,7 +221,8 @@ def render(scene, camera, width: int, height: int, spp: int,
     for s in range(start_frame, start_frame + spp):
         frame = render_sample(scene, pos, inv_view, inv_proj, width, height,
                               jnp.uint32(s), max_bounces, intersect_method,
-                              reference_compat, active_lobes, use_textures)
+                              reference_compat, active_lobes, use_textures,
+                              use_alpha_cutout)
         # running mean: mix(prev, new, 1/(s+1))
         weight = 1.0 / (s + 1)
         accum = accum + (frame - accum) * weight

@@ -154,11 +154,25 @@ def _flatten(node, arrays, i, skip_target, sizes):
     return _flatten(node.right, arrays, right_idx, skip_target, sizes)
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHArrays:
-    """Build from world-space triangle vertices [T, 3] each."""
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              use_native: bool = True) -> BVHArrays:
+    """Build from world-space triangle vertices [T, 3] each.
+
+    Prefers the native C++ builder (optixpathtracer_tpu/native) - the
+    production path for Sponza-class scenes - falling back to this module's
+    numpy implementation when the native lib is unavailable.
+    """
     t = len(v0)
     if t == 0:
         raise ValueError("empty triangle list")
+    if use_native:
+        try:
+            from ..native import build_bvh_native
+            result = build_bvh_native(v0, v1, v2)
+            if result is not None:
+                return result
+        except Exception:
+            pass
     bb_min_tri = np.minimum(np.minimum(v0, v1), v2)
     bb_max_tri = np.maximum(np.maximum(v0, v1), v2)
     centroids = (v0 + v1 + v2) / 3.0
