@@ -36,6 +36,38 @@ from .surface import make_surface
 RAY_TMAX = 100.0
 SHADOW_OFFSET = 1e-3
 BETA_EPS = 1e-5
+MORTON_BITS = 4  # per-axis origin quantization for the coherence sort
+
+
+def _spread3(x):
+    """Spread the low MORTON_BITS bits of x so consecutive bits land 3
+    apart (for interleaved Morton codes)."""
+    out = jnp.zeros_like(x)
+    for b in range(MORTON_BITS):
+        out = out | (((x >> b) & 1) << (3 * b))
+    return out
+
+
+def _coherence_sort_key(scene, o, d, alive):
+    """Sort key grouping rays by direction octant within origin Morton
+    cells. Secondary bounces scatter rays incoherently; the Pallas
+    intersection kernels cull triangle clusters per 4096-ray block, so
+    re-sorting the wavefront each bounce keeps blocks spatially tight and
+    restores the culling rate (the TPU analog of the ray-sorting stage in
+    wavefront GPU path tracers). Dead lanes sort to the end where their
+    blocks are culled en masse."""
+    root_min = scene.bvh_min[0]
+    root_ext = jnp.maximum(scene.bvh_max[0] - root_min, 1e-6)
+    scale = float(1 << MORTON_BITS)
+    q = jnp.clip((o - root_min) / root_ext * scale, 0.0,
+                 scale - 1.0).astype(jnp.uint32)
+    morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+              | (_spread3(q[:, 2]) << 2))
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    key = (morton << 3) | octant
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
 
 
 def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
@@ -64,13 +96,15 @@ def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
     wl = normalize(to_light)
 
     # Shadow ray: offset along the geometric normal, tmax at the light
-    # (`devicePrograms.cu:216-241`).
+    # (`devicePrograms.cu:216-241`). Dead lanes get tmax=-1 so the
+    # intersection kernels cull their blocks instantly.
     shadow_o = surf.position + SHADOW_OFFSET * surf.g_normal
+    shadow_tmax = jnp.where(alive, dist, -1.0)
     if use_alpha_cutout:
-        blocked = intersect_any_cutout(scene, shadow_o, wl, 0.0, dist,
+        blocked = intersect_any_cutout(scene, shadow_o, wl, 0.0, shadow_tmax,
                                        method=intersect_method)
     else:
-        blocked = intersect_any(scene, shadow_o, wl, 0.0, dist,
+        blocked = intersect_any(scene, shadow_o, wl, 0.0, shadow_tmax,
                                 method=intersect_method)
     visible = ~blocked & alive
 
@@ -91,7 +125,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                 active_lobes=dispatch.ALL_LOBES,
                 use_textures: bool = True,
                 use_alpha_cutout: bool = False,
-                debug_pixel: int | None = None):
+                debug_pixel: int | None = None,
+                sort_rays: bool | None = None):
     """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
     Returns (radiance [R, 3], seed).
 
@@ -99,18 +134,34 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
     reference's anyhit programs (integrate/cutout.py).
     debug_pixel (static): flat lane index whose per-bounce surface state is
     printed - the analog of the reference's debug-ray printf facility
-    (`RayData.h:19`, `devicePrograms.cu:428-437`)."""
+    (`RayData.h:19`, `devicePrograms.cu:428-437`).
+    sort_rays (static): re-sort the wavefront by spatial coherence key each
+    secondary bounce (see _coherence_sort_key). Per-lane arithmetic is
+    order-invariant, so images are bit-identical either way. Defaults to
+    on for the Pallas engine (whose block culling it feeds), off for the
+    brute/bvh engines (no benefit, sort cost only)."""
     r = o.shape[0]
     radiance = jnp.zeros((r, 3), jnp.float32)
     beta = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
+    if sort_rays is None:
+        sort_rays = intersect_method in ("pallas", "auto")
+    pix = jnp.arange(r, dtype=jnp.int32)
 
     for _bounce in range(max_bounces):
+        if sort_rays and _bounce and debug_pixel is None:
+            perm = jnp.argsort(_coherence_sort_key(scene, o, d, alive))
+            o, d, seed = o[perm], d[perm], seed[perm]
+            beta, radiance = beta[perm], radiance[perm]
+            alive, pix = alive[perm], pix[perm]
+        # Dead lanes trace with tmax=-1: they can't hit anything, and the
+        # Pallas cluster tests cull their whole blocks for free.
+        ray_tmax = jnp.where(alive, RAY_TMAX, -1.0) if _bounce else RAY_TMAX
         if use_alpha_cutout:
-            hit = intersect_closest_cutout(scene, o, d, 0.0, RAY_TMAX,
+            hit = intersect_closest_cutout(scene, o, d, 0.0, ray_tmax,
                                            method=intersect_method)
         else:
-            hit = intersect_closest(scene, o, d, 0.0, RAY_TMAX,
+            hit = intersect_closest(scene, o, d, 0.0, ray_tmax,
                                     method=intersect_method)
         # miss -> background is black; path dies with radiance unchanged
         alive = alive & hit.hit
@@ -155,6 +206,11 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
         d = jnp.where(alive[..., None], wi_world, d)
         alive = alive & (length(beta) > BETA_EPS)
 
+    if sort_rays and max_bounces > 1 and debug_pixel is None:
+        # Undo the coherence sort: scatter per-lane results back to pixel
+        # order (pix is a permutation -> .set is collision-free).
+        radiance = jnp.zeros_like(radiance).at[pix].set(radiance)
+        seed = jnp.zeros_like(seed).at[pix].set(seed)
     return radiance, seed
 
 

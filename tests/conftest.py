@@ -26,5 +26,12 @@ except Exception:
 
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite is compile-dominated (tiny shapes,
+# big programs - sharded grad steps take minutes to build on CPU); caching
+# makes re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) >= 8, jax.devices()

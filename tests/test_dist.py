@@ -48,8 +48,10 @@ def test_grad_step_runs_and_reduces(cornell):
     mesh = make_mesh(8)
     cam_params = camera.raygen_params(w, h)
     target = jnp.zeros((h, w, 3), jnp.float32)
+    # max_bounces=1 keeps the CPU compile of the transposed shard_map
+    # program fast; the psum/grad structure is identical at any depth.
     new_scene, loss = material_grad_step(mesh, scene, cam_params, target,
-                                         w, h, jnp.uint32(0))
+                                         w, h, jnp.uint32(0), max_bounces=1)
     assert jnp.isfinite(loss)
     assert float(loss) > 0.0
     # gradients flowed into the material table
