@@ -29,7 +29,7 @@ def main():
     from optixpathtracer_tpu.integrate.path import render_sample
     from optixpathtracer_tpu.scene import flatten_model
     from optixpathtracer_tpu.scene.flatten import (scene_active_lobes,
-        scene_uses_textures)
+        scene_flat_shading, scene_uses_textures)
     from optixpathtracer_tpu.scene.procedural import PRESETS
 
     width = height = 256
@@ -40,6 +40,7 @@ def main():
     scene = flatten_model(model, lights)
     lobes = scene_active_lobes(scene)
     use_tex = scene_uses_textures(scene)
+    flat = scene_flat_shading(scene)
     pos, inv_view, inv_proj = camera.raygen_params(width, height)
 
     # One jitted program runs ALL frames on-device (lax.fori_loop) so the
@@ -50,7 +51,7 @@ def main():
             frame = render_sample(scene, pos, inv_view, inv_proj,
                                   width, height, s.astype(jnp.uint32),
                                   max_bounces, "auto", False, lobes,
-                                  use_tex)
+                                  use_tex, flat_shading=flat)
             return acc + frame
         return jax.lax.fori_loop(
             0, frames, body, jnp.zeros((height, width, 3), jnp.float32))

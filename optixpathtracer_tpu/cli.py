@@ -38,6 +38,15 @@ def build_parser():
     p.add_argument("--checkpoint")
     p.add_argument("--checkpoint-every", type=int, dest="checkpoint_every")
     p.add_argument("--list-scenes", action="store_true")
+    p.add_argument("--preview", type=int, nargs="?", const=8000,
+                   metavar="PORT",
+                   help="serve an interactive progressive preview (browser "
+                        "viewport + WASD/drag fly camera) instead of a "
+                        "batch render")
+    p.add_argument("--preview-seconds", type=float, default=None,
+                   help="auto-stop the preview after N seconds")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace of the render to DIR")
     return p
 
 
@@ -57,12 +66,27 @@ def main(argv=None):
         if v is not None:
             setattr(cfg, f.name, v)
 
+    if args.preview is not None:
+        from .preview import run_preview
+        from .render import load_scene
+        scene, camera = load_scene(cfg)
+        run_preview(scene, camera, cfg.width, cfg.height, cfg.max_bounces,
+                    cfg.intersect, port=args.preview,
+                    max_seconds=args.preview_seconds,
+                    reference_compat=cfg.reference_compat)
+        return 0
+
     if not (cfg.out_exr or cfg.out_png or cfg.out_bmp):
         print("warning: no --out-exr/--out-png/--out-bmp; rendering only",
               file=sys.stderr)
 
     from .render import render_config
-    img = render_config(cfg)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            img = render_config(cfg)
+    else:
+        img = render_config(cfg)
     print(f"done: {cfg.width}x{cfg.height}x{cfg.spp}spp "
           f"mean={float(img.mean()):.4f}")
     return 0

@@ -108,8 +108,13 @@ def fresnel_dielectric(cos_theta_i, ior=1.5):
     tir = sin2_t >= 1.0
     ct = safe_sqrt(1.0 - jnp.minimum(sin2_t, 1.0))
 
-    r_parl = (eta * ci - ct) / (eta * ci + ct)
-    r_perp = (ci - eta * ct) / (ci + eta * ct)
+    # Guarded divisions: at grazing incidence with TIR both terms of a
+    # denominator can be 0; the forward value is masked by `tir` below but
+    # an unguarded 0/0 would still NaN the backward pass.
+    den_parl = eta * ci + ct
+    den_perp = ci + eta * ct
+    r_parl = (eta * ci - ct) / jnp.where(den_parl == 0.0, 1.0, den_parl)
+    r_perp = (ci - eta * ct) / jnp.where(den_perp == 0.0, 1.0, den_perp)
     fr = 0.5 * (sqr(r_parl) + sqr(r_perp))
     return jnp.where(tir, 1.0, fr)
 

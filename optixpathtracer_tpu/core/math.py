@@ -51,8 +51,13 @@ def length(v):
 
 
 def safe_sqrt(x):
-    """sqrt clamped to 0 below; gradient-safe at exactly 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped to 0 below, with ZERO gradient at x <= 0.
+
+    A bare sqrt(max(x, 0)) still has d/dx = inf at exactly 0, and masked
+    lanes then poison reverse-mode with 0 * inf = NaN (the standard
+    where-trap); guarding the input on both sides kills that path."""
+    ok = x > 0.0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 
 def safe_div(num, den, eps: float = 0.0):

@@ -126,7 +126,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                 use_textures: bool = True,
                 use_alpha_cutout: bool = False,
                 debug_pixel: int | None = None,
-                sort_rays: bool | None = None):
+                sort_rays: bool | None = None,
+                flat_shading: bool = False):
     """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
     Returns (radiance [R, 3], seed).
 
@@ -137,15 +138,16 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
     (`RayData.h:19`, `devicePrograms.cu:428-437`).
     sort_rays (static): re-sort the wavefront by spatial coherence key each
     secondary bounce (see _coherence_sort_key). Per-lane arithmetic is
-    order-invariant, so images are bit-identical either way. Defaults to
-    on for the Pallas engine (whose block culling it feeds), off for the
-    brute/bvh engines (no benefit, sort cost only)."""
+    order-invariant, so images are bit-identical either way. Default OFF:
+    measured on v5e, jnp.argsort + permute costs ~7 ms per 65k-ray frame
+    while the block-culling gain at 4096-ray block granularity is smaller;
+    flip on for scenes/shapes where coherence wins."""
     r = o.shape[0]
     radiance = jnp.zeros((r, 3), jnp.float32)
     beta = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
     if sort_rays is None:
-        sort_rays = intersect_method in ("pallas", "auto")
+        sort_rays = False
     pix = jnp.arange(r, dtype=jnp.int32)
 
     for _bounce in range(max_bounces):
@@ -168,7 +170,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
 
         seed, surf = make_surface(seed, scene, o, d, hit,
                                   reference_compat=reference_compat,
-                                  use_textures=use_textures)
+                                  use_textures=use_textures,
+                                  flat_shading=flat_shading)
 
         if debug_pixel is not None:
             jax.debug.print(
@@ -217,7 +220,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
 @partial(jax.jit, static_argnames=("width", "height", "max_bounces",
                                    "intersect_method", "reference_compat",
                                    "active_lobes", "use_textures",
-                                   "use_alpha_cutout", "debug_pixel"))
+                                   "use_alpha_cutout", "debug_pixel",
+                                   "sort_rays", "flat_shading"))
 def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   width: int, height: int, frame_id,
                   max_bounces: int = 2,
@@ -226,7 +230,9 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   active_lobes=dispatch.ALL_LOBES,
                   use_textures: bool = True,
                   use_alpha_cutout: bool = False,
-                  debug_pixel: int | None = None):
+                  debug_pixel: int | None = None,
+                  sort_rays: bool | None = None,
+                  flat_shading: bool = False):
     """Render one 1-spp frame: [H, W, 3] linear radiance (row 0 = bottom,
     GL convention like the reference framebuffer).
 
@@ -245,7 +251,8 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
     radiance, _ = trace_paths(scene, o, d, seed, max_bounces,
                               intersect_method, reference_compat,
                               active_lobes, use_textures,
-                              use_alpha_cutout, debug_pixel)
+                              use_alpha_cutout, debug_pixel,
+                              sort_rays, flat_shading)
     return radiance.reshape(height, width, 3)
 
 
@@ -253,7 +260,7 @@ def render(scene, camera, width: int, height: int, spp: int,
            max_bounces: int = 2, intersect_method: str = "auto",
            reference_compat: bool = False, start_frame: int = 0,
            accum=None, callback=None, active_lobes=None,
-           use_textures=None, use_alpha_cutout=None):
+           use_textures=None, use_alpha_cutout=None, flat_shading=None):
     """Progressive render: accumulate `spp` 1-spp frames into a running mean
     (the on-device analog of the reference's GL accumulation shader,
     `AddPathtracedFrame.frag:13-25` endless-mode weight 1/samples).
@@ -270,6 +277,9 @@ def render(scene, camera, width: int, height: int, spp: int,
     if use_alpha_cutout is None:
         from .cutout import scene_uses_alpha_cutout
         use_alpha_cutout = scene_uses_alpha_cutout(scene)
+    if flat_shading is None:
+        from ..scene.flatten import scene_flat_shading
+        flat_shading = scene_flat_shading(scene)
     pos, inv_view, inv_proj = camera.raygen_params(width, height)
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
@@ -278,7 +288,7 @@ def render(scene, camera, width: int, height: int, spp: int,
         frame = render_sample(scene, pos, inv_view, inv_proj, width, height,
                               jnp.uint32(s), max_bounces, intersect_method,
                               reference_compat, active_lobes, use_textures,
-                              use_alpha_cutout)
+                              use_alpha_cutout, flat_shading=flat_shading)
         # running mean: mix(prev, new, 1/(s+1))
         weight = 1.0 / (s + 1)
         accum = accum + (frame - accum) * weight

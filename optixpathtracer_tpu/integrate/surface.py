@@ -38,13 +38,20 @@ class Surface(NamedTuple):
 
 
 def make_surface(seed, scene, o, d, hit, reference_compat: bool = False,
-                 use_textures: bool = True):
+                 use_textures: bool = True, flat_shading: bool = False):
     """Build the shading context for every lane (misses produce garbage that
     callers mask with hit.hit). Returns (seed, Surface).
 
     use_textures=False (static) skips every texture gather - flatten-time
     analysis (scene_uses_textures) sets it so untextured scenes never pay
-    the bilinear fetch (4 dynamic gathers x 3 maps per lane).
+    the bilinear fetch (4 dynamic gathers x 3 maps per lane). It also skips
+    the per-corner UV gather (6 floats/lane) - shading gathers are the
+    dominant non-intersection cost on TPU.
+
+    flat_shading=True (static, from scene_flat_shading) marks scenes whose
+    vertex normals all equal the geometric normal: the 9-float/lane corner
+    normal gather and interpolation collapse to the already-computed cross
+    product.
 
     reference_compat=True reproduces two reference bugs (SURVEY.md quirks):
     metallic read from the texture R channel instead of glTF-spec B
@@ -55,8 +62,6 @@ def make_surface(seed, scene, o, d, hit, reference_compat: bool = False,
     v0 = scene.tri_v0[safe_id]
     e1 = scene.tri_e1[safe_id]
     e2 = scene.tri_e2[safe_id]
-    tri_n = scene.tri_normals[safe_id]   # [R, 3, 3]
-    tri_uv = scene.tri_uvs[safe_id]      # [R, 3, 2]
     mat_id = scene.tri_mat[safe_id]
 
     u = hit.u[..., None]
@@ -65,20 +70,30 @@ def make_surface(seed, scene, o, d, hit, reference_compat: bool = False,
 
     wo = normalize(-d)
     position = v0 + u * e1 + v * e2
-    uv = w0 * tri_uv[:, 0] + u * tri_uv[:, 1] + v * tri_uv[:, 2]
+    if use_textures:
+        tri_uv = scene.tri_uvs[safe_id]      # [R, 3, 2]
+        uv = w0 * tri_uv[:, 0] + u * tri_uv[:, 1] + v * tri_uv[:, 2]
+    else:
+        uv = jnp.zeros(position.shape[:-1] + (2,), jnp.float32)
 
     # Geometric normal, face-forwarded to the outgoing direction
     # (`devicePrograms.cu:92,107-108`).
     ng = normalize(cross(e1, e2))
     ng = jnp.where(dot(wo, ng)[..., None] < 0.0, -ng, ng)
 
-    # Shading normal from interpolated vertex normals, flipped into ng's
-    # hemisphere (`devicePrograms.cu:96-113`).
-    ns = normalize(w0 * tri_n[:, 0] + u * tri_n[:, 1] + v * tri_n[:, 2])
-    no_ns = jnp.sum(jnp.abs(ns), axis=-1, keepdims=True) < 1e-12
-    ns = jnp.where(no_ns, ng, ns)
-    ns = jnp.where(dot(ng, ns)[..., None] < 0.0, -ns, ns)
-    ns = normalize(ns)
+    if flat_shading:
+        # Vertex normals == geometric normals everywhere (static scene
+        # fact): the interpolation below would reproduce ng exactly.
+        ns = ng
+    else:
+        # Shading normal from interpolated vertex normals, flipped into
+        # ng's hemisphere (`devicePrograms.cu:96-113`).
+        tri_n = scene.tri_normals[safe_id]   # [R, 3, 3]
+        ns = normalize(w0 * tri_n[:, 0] + u * tri_n[:, 1] + v * tri_n[:, 2])
+        no_ns = jnp.sum(jnp.abs(ns), axis=-1, keepdims=True) < 1e-12
+        ns = jnp.where(no_ns, ng, ns)
+        ns = jnp.where(dot(ng, ns)[..., None] < 0.0, -ns, ns)
+        ns = normalize(ns)
 
     # Backface hits flip both normals outward (`devicePrograms.cu:379-382`).
     back = hit.back_face[..., None]

@@ -18,7 +18,8 @@ from .config import RenderConfig
 from .film import write_bmp, write_exr, write_png
 from .integrate.path import render_sample
 from .scene import flatten_model
-from .scene.flatten import scene_active_lobes, scene_uses_textures
+from .scene.flatten import (scene_active_lobes, scene_flat_shading,
+    scene_uses_textures)
 from .scene.gltf import load_gltf
 from .scene.procedural import PRESETS
 from .scene.types import PointLight
@@ -68,13 +69,15 @@ def render_config(cfg: RenderConfig, scene=None, camera=None):
 
     lobes = scene_active_lobes(scene)
     use_tex = scene_uses_textures(scene)
+    flat = scene_flat_shading(scene)
     pos, inv_view, inv_proj = camera.raygen_params(cfg.width, cfg.height)
     t0 = time.time()
     for s in range(start, cfg.spp):
         frame = render_sample(scene, pos, inv_view, inv_proj,
                               cfg.width, cfg.height, jnp.uint32(s),
                               cfg.max_bounces, cfg.intersect,
-                              cfg.reference_compat, lobes, use_tex)
+                              cfg.reference_compat, lobes, use_tex,
+                              flat_shading=flat)
         accum = accum + (frame - accum) / (s + 1)
         done = s + 1
         if cfg.log_every and done % cfg.log_every == 0:

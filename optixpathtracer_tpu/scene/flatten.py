@@ -94,6 +94,20 @@ def scene_uses_textures(scene: "SceneData") -> bool:
                 or (np.asarray(scene.mat_normal_tex) >= 0).any())
 
 
+def scene_flat_shading(scene: "SceneData") -> bool:
+    """Static: do the vertex normals equal the geometric normal on every
+    real triangle (flat-shaded scene)? True lets the wavefront skip the
+    9-float/lane corner-normal gather + interpolation - shading gathers
+    dominate non-intersection cost on TPU."""
+    valid = np.asarray(scene.tri_valid)
+    e1 = np.asarray(scene.tri_e1)[valid]
+    e2 = np.asarray(scene.tri_e2)[valid]
+    n = np.asarray(scene.tri_normals)[valid]  # [T, 3 corners, 3]
+    g = np.cross(e1, e2)
+    g = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+    return bool(np.all(np.abs(n - g[:, None, :]) < 1e-5))
+
+
 def _resize_texture(pixels: np.ndarray, res: int) -> np.ndarray:
     """Bilinear resample [H, W, 4] -> [res, res, 4] via PIL."""
     if pixels.shape[0] == res and pixels.shape[1] == res:
