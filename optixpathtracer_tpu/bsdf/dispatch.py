@@ -127,16 +127,31 @@ def sample(seed, mat: MaterialParams, wo, active_lobes=ALL_LOBES):
     return seed, out
 
 
-def pdf(mat: MaterialParams, wo, wi):
-    """Sampling pdf per lane (deterministic lobes only; the layered lobe's
-    pdf is proportional/stochastic in the reference too, approximated here by
-    its entrance lobes for MIS-style uses)."""
+def pdf(mat: MaterialParams, wo, wi, layered: str = "error"):
+    """Sampling pdf per lane (deterministic lobes).
+
+    The layered (GLOSSY_DIFFUSE) lobe has no closed-form pdf - the
+    reference's own pdf is a stochastic single-walk estimate
+    (`GlossyDiffuse.h:372-524` pdf tracking) and the integrator never uses
+    it (no MIS). To keep a silent bias out of anything that starts trusting
+    this function:
+
+      layered="error"  (default) layered lanes return NaN, poisoning any
+                       downstream use loudly instead of biasing it quietly.
+      layered="approx" layered lanes use the 0.5*(diffuse + coat-reflection)
+                       entrance-lobe mix - a usable MIS-style proxy, opt-in.
+    """
+    if layered not in ("error", "approx"):
+        raise ValueError(f"layered={layered!r} (want 'error' or 'approx')")
     p_diffuse = _diffuse.pdf(wo, wi)
     p_conductor = _conductor.pdf(mat.roughness, wo, wi)
     p_dielectric = _dielectric.pdf(mat.roughness, wo, wi, eta=mat.ior)
-    # Layered: coat reflection + diffuse lobe mix as a usable proxy.
-    p_glossy = 0.5 * (p_diffuse + _dielectric.pdf(
-        mat.roughness, wo, wi, eta=mat.ior, transmission=False))
+    if layered == "approx":
+        # Layered: coat reflection + diffuse lobe mix as a usable proxy.
+        p_glossy = 0.5 * (p_diffuse + _dielectric.pdf(
+            mat.roughness, wo, wi, eta=mat.ior, transmission=False))
+    else:
+        p_glossy = jnp.full_like(p_diffuse, jnp.nan)
 
     t = mat.mat_type
     return jnp.where(t == DIFFUSE, p_diffuse,

@@ -60,11 +60,17 @@ def power_heuristic(f_pdf, g_pdf):
 
 
 def transmittance(dz, w):
-    """exp(-|dz / w.z|), 1 at dz ~ 0 (`GlossyDiffuse.h:97-105`)."""
+    """exp(-|dz / w.z|), 1 at dz ~ 0 (`GlossyDiffuse.h:97-105`).
+
+    Guarded at wz > 1e-8 rather than wz != 0: for tiny nonzero wz the
+    forward value underflows to 0 harmlessly, but the backward is
+    exp(-huge) * dz/wz^2 = 0 * inf = NaN once wz^2 overflows. Below the
+    cutoff the transmittance is exactly 0 (exp(-1e6) == 0 in f32) so the
+    clamp changes no forward value."""
     wz = jnp.abs(w[..., 2])
-    tr = jnp.exp(-jnp.abs(dz) / jnp.where(wz == 0.0, 1.0, wz))
-    # w.z == 0 -> transmittance 0 (infinite in-layer path); dz==0 -> 1
-    tr = jnp.where(wz == 0.0, 0.0, tr)
+    ok = wz > 1e-8
+    tr = jnp.exp(-jnp.abs(dz) / jnp.where(ok, wz, 1.0))
+    tr = jnp.where(ok, tr, 0.0)
     return jnp.where(jnp.abs(dz) <= jnp.finfo(jnp.float32).tiny, 1.0, tr)
 
 
@@ -263,8 +269,15 @@ def sample(seed, albedo, roughness, wo, eta=DEFAULT_IOR,
     for depth in range(max_depth):
         # Russian roulette (`GlossyDiffuse.h:432-439`).
         if depth > 3:
-            rr_beta = (jnp.max(f_val, axis=-1)
-                       / jnp.where(pdf_val == 0.0, 1.0, pdf_val))
+            # pdf products can underflow to denormals; f/denormal = inf and
+            # the masked backward of the ratio then NaNs (0 * -f/pdf^2).
+            # A stand-in of 1.0 keeps the same behavior (rr_beta >= 0.25
+            # means no roulette) with finite partials.
+            pdf_ok = pdf_val > 1e-20
+            rr_beta = jnp.where(
+                pdf_ok,
+                jnp.max(f_val, axis=-1) / jnp.where(pdf_ok, pdf_val, 1.0),
+                1.0)
             rr_on = walking & (rr_beta < 0.25)
             q = jnp.maximum(0.0, 1.0 - rr_beta)
             seed_rr, u_rr = rng.rnd(seed_rr)

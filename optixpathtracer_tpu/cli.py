@@ -27,7 +27,12 @@ def build_parser():
     p.add_argument("--height", type=int)
     p.add_argument("--spp", type=int)
     p.add_argument("--max-bounces", type=int, dest="max_bounces")
-    p.add_argument("--intersect", choices=["auto", "brute", "bvh"])
+    p.add_argument("--intersect", choices=["auto", "brute", "bvh", "pallas"])
+    p.add_argument("--sharded", action="store_true", default=None,
+                   help="shard pixel rows across all local devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed for multi-host runs "
+                        "(auto-detects coordinator from the environment)")
     p.add_argument("--tonemap", choices=["srgb", "agx", "none"])
     p.add_argument("--reference-compat", action="store_true", default=None,
                    dest="reference_compat",
@@ -65,6 +70,13 @@ def main(argv=None):
         v = getattr(args, f.name, None)
         if v is not None:
             setattr(cfg, f.name, v)
+
+    if args.distributed:
+        from .dist import initialize_distributed
+        if initialize_distributed():
+            import jax
+            print(f"distributed: process {jax.process_index()}/"
+                  f"{jax.process_count()}, {jax.device_count()} devices")
 
     if args.preview is not None:
         from .preview import run_preview

@@ -137,7 +137,10 @@ def sin2_theta(w):
 
 
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    # safe_sqrt, not sqrt: at w == (0,0,1) (every smooth-sampled microfacet
+    # normal) sin2 == 0 exactly and d sqrt/dx = inf there, which poisons
+    # reverse-mode through masked consumers (sin_phi/cos_phi) as 0 * inf.
+    return safe_sqrt(sin2_theta(w))
 
 
 def tan_theta(w):

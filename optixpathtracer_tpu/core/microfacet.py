@@ -20,12 +20,29 @@ from .math import (PI, abs_dot, abs_cos_theta, cos_phi, cos2_theta, cross,
 
 
 def d_anisotropic(wm, alpha):
-    """GGX NDF D(wm) (reference `Microfacet.h:9-20`). alpha: [..., 2]."""
+    """GGX NDF D(wm) (reference `Microfacet.h:9-20`). alpha: [..., 2].
+
+    Numerical safety (all for lanes the callers mask out, which still leak
+    NaN into reverse-mode if left unguarded - 0-cotangent times a NaN/inf
+    partial is NaN):
+      * alpha clamped to >= 1e-4: alpha == 0 (effectively-smooth lanes,
+        cutoff 1e-3 per `Surface.h:22-24` - always masked by callers) makes
+        the raw expression 0 * inf = NaN, and values below ~1e-6 overflow
+        float32 in the tangents at grazing wm;
+      * t2 masked where inf (the deliberate grazing-angle inf from
+        tan2_theta) and clamped to <= 1e6 (theta_m ~ 89.94 deg, where D is
+        ~0 for any real alpha) so d t2/d wm ~ 1/cos^4 cannot overflow the
+        chain rule.
+    """
+    a0 = jnp.maximum(alpha[..., 0], 1e-4)
+    a1 = jnp.maximum(alpha[..., 1], 1e-4)
     t2 = tan2_theta(wm)
+    t2_ok = jnp.isfinite(t2)
+    t2s = jnp.minimum(jnp.where(t2_ok, t2, 0.0), 1e6)
     cos4 = sqr(cos2_theta(wm))
-    e = t2 * (sqr(cos_phi(wm) / alpha[..., 0]) + sqr(sin_phi(wm) / alpha[..., 1]))
-    denom = PI * alpha[..., 0] * alpha[..., 1] * cos4 * sqr(1.0 + e)
-    ok = jnp.isfinite(t2) & (cos4 >= 1e-16)
+    e = t2s * (sqr(cos_phi(wm) / a0) + sqr(sin_phi(wm) / a1))
+    denom = PI * a0 * a1 * cos4 * sqr(1.0 + e)
+    ok = t2_ok & (cos4 >= 1e-16) & jnp.isfinite(e)
     # inf*0 guards: only divide on valid lanes
     return jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), 0.0)
 

@@ -39,11 +39,79 @@ def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host entry point: wire `jax.distributed.initialize` so the mesh
+    spans hosts and the same collectives ride DCN (SURVEY.md section 5.8 -
+    the comm backend the reference never had, `OptixRenderer.cpp:69-71`).
+
+    With no arguments, initializes only when the environment indicates a
+    multi-process launch (JAX_COORDINATOR_ADDRESS, or a TPU pod/GKE/SLURM
+    environment jax can auto-detect); single-process runs are a no-op.
+    Returns True if distributed mode is active.
+    """
+    import os
+    explicit = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    auto_env = any(os.environ.get(k) for k in
+                   ("JAX_NUM_PROCESSES", "SLURM_JOB_NUM_NODES",
+                    "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not (explicit or auto_env or num_processes):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_count() > 1
+
+
+def render_rows(scene, cam_position, cam_inv_view, cam_inv_proj,
+                width: int, height: int, frame_id, y0, h_local: int,
+                max_bounces: int = 2, intersect_method: str = "auto",
+                active_lobes=None, reference_compat: bool = False,
+                use_textures: bool = True, use_alpha_cutout: bool = False,
+                flat_shading: bool = False):
+    """Render pixel rows [y0, y0 + h_local) of the full height x width frame,
+    bit-deterministically from (scene, camera, frame_id, y0).
+
+    This is both the per-shard body of `render_sample_sharded` AND the
+    lost-shard recovery primitive (SURVEY.md section 5.3): rendering is a
+    pure function, so any tile is recomputable from its coordinates alone -
+    no state to salvage from a failed worker.
+    """
+    if active_lobes is None:
+        from ..scene.flatten import scene_active_lobes
+        active_lobes = scene_active_lobes(scene)
+    ys_local = jnp.arange(h_local, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    py = jnp.broadcast_to(ys_local + jnp.asarray(y0, jnp.float32),
+                          (h_local, width))
+    px = jnp.broadcast_to(xs, (h_local, width))
+    o, d = generate_rays(cam_position, cam_inv_view, cam_inv_proj,
+                         width, height, px, py)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    seed = rng.pixel_seed(
+        width,
+        px.astype(jnp.uint32).reshape(-1),
+        py.astype(jnp.uint32).reshape(-1),
+        frame_id)
+    radiance, _ = trace_paths(scene, o, d, seed, max_bounces,
+                              intersect_method, reference_compat,
+                              active_lobes, use_textures, use_alpha_cutout,
+                              flat_shading=flat_shading)
+    return radiance.reshape(h_local, width, 3)
+
+
 def render_sample_sharded(mesh: Mesh, scene, cam_position, cam_inv_view,
                           cam_inv_proj, width: int, height: int, frame_id,
                           max_bounces: int = 2,
-                          intersect_method: str = "brute",
-                          active_lobes=None):
+                          intersect_method: str = "auto",
+                          active_lobes=None,
+                          reference_compat: bool = False,
+                          use_textures: bool = True,
+                          use_alpha_cutout: bool = False,
+                          flat_shading: bool = False):
     """Render one 1-spp frame with pixel rows sharded across the mesh.
     Returns [H, W, 3] (sharded over rows). height must divide by mesh size.
     """
@@ -66,24 +134,11 @@ def render_sample_sharded(mesh: Mesh, scene, cam_position, cam_inv_view,
              in_specs=(P(), P(), P(), P(), P(axis)),
              out_specs=P(axis), check_vma=False)
     def _render_block(scene_rep, pos, inv_view, inv_proj, row0):
-        y0 = row0[0, 0]
-        ys_local = jnp.arange(h_local, dtype=jnp.float32)[:, None]
-        xs = jnp.arange(width, dtype=jnp.float32)[None, :]
-        py = jnp.broadcast_to(ys_local + jnp.float32(y0), (h_local, width))
-        px = jnp.broadcast_to(xs, (h_local, width))
-        o, d = generate_rays(pos, inv_view, inv_proj, width, height,
-                             px, py)
-        o = o.reshape(-1, 3)
-        d = d.reshape(-1, 3)
-        seed = rng.pixel_seed(
-            width,
-            px.astype(jnp.uint32).reshape(-1),
-            py.astype(jnp.uint32).reshape(-1),
-            frame_id)
-        radiance, _ = trace_paths(scene_rep, o, d, seed, max_bounces,
-                                  intersect_method,
-                                  active_lobes=active_lobes)
-        return radiance.reshape(h_local, width, 3)
+        return render_rows(scene_rep, pos, inv_view, inv_proj, width,
+                           height, frame_id, row0[0, 0], h_local,
+                           max_bounces, intersect_method, active_lobes,
+                           reference_compat, use_textures, use_alpha_cutout,
+                           flat_shading)
 
     return _render_block(scene, cam_position, cam_inv_view, cam_inv_proj,
                          row_start)
@@ -92,11 +147,16 @@ def render_sample_sharded(mesh: Mesh, scene, cam_position, cam_inv_view,
 def material_grad_step(mesh: Mesh, scene, cam_params, target,
                        width: int, height: int, frame_id,
                        lr: float = 0.05, max_bounces: int = 2,
+                       intersect_method: str = "auto",
                        active_lobes=None):
     """One inverse-rendering step: render sharded, L2 loss against `target`,
     gradient w.r.t. the material table (albedo/roughness/metallic/ior),
     SGD update. The grads are psum-reduced across chips by shard_map's
     transpose - this is the framework's "training step".
+
+    intersect_method routes the forward intersection ('auto' picks the
+    Pallas kernels on TPU) - gradients detach through hit ids either way
+    (intersect/api.py), so the fast kernel is safe in the training step.
 
     Returns (new_scene, loss).
     """
@@ -108,6 +168,7 @@ def material_grad_step(mesh: Mesh, scene, cam_params, target,
         s = scene._replace(**params)
         img = render_sample_sharded(mesh, s, pos, inv_view, inv_proj,
                                     width, height, frame_id, max_bounces,
+                                    intersect_method,
                                     active_lobes=active_lobes)
         return jnp.mean((img - target) ** 2)
 

@@ -56,8 +56,21 @@ def _coherence_sort_key(scene, o, d, alive):
     restores the culling rate (the TPU analog of the ray-sorting stage in
     wavefront GPU path tracers). Dead lanes sort to the end where their
     blocks are culled en masse."""
-    root_min = scene.bvh_min[0]
-    root_ext = jnp.maximum(scene.bvh_max[0] - root_min, 1e-6)
+    if scene.bvh_min.shape[0] > 0:
+        root_min = scene.bvh_min[0]
+        root_max = scene.bvh_max[0]
+    else:
+        # Scene flattened without BVH nodes: derive the bounds from the
+        # triangles instead (static shape check, so this is free under jit).
+        v0 = scene.tri_v0
+        v1 = v0 + scene.tri_e1
+        v2 = v0 + scene.tri_e2
+        ok = scene.tri_valid[:, None]
+        root_min = jnp.where(ok, jnp.minimum(jnp.minimum(v0, v1), v2),
+                             jnp.inf).min(axis=0)
+        root_max = jnp.where(ok, jnp.maximum(jnp.maximum(v0, v1), v2),
+                             -jnp.inf).max(axis=0)
+    root_ext = jnp.maximum(root_max - root_min, 1e-6)
     scale = float(1 << MORTON_BITS)
     q = jnp.clip((o - root_min) / root_ext * scale, 0.0,
                  scale - 1.0).astype(jnp.uint32)

@@ -207,8 +207,13 @@ def _prep(scene, o, d, tmin, tmax):
     rays.append(_pad_plane(tmin, r_pad, 0.0))
     rays.append(_pad_plane(tmax, r_pad, -1.0))  # padding rays: no hits
 
-    # Cluster AABBs over real triangles (padding chunks get inverted boxes
-    # that fail every slab test).
+    # Cluster AABBs over real triangles. Invalid/padding triangles use
+    # reduction-neutral fills (+BIG for min, -BIG for max); chunks that end
+    # up fully empty (inverted box) are then rewritten to a degenerate
+    # min=max=BIG point box whose slab test yields t_near=t_far ~1e38 > any
+    # tmax, so the cull always rejects them. (Leaving the inverted
+    # [BIG, -BIG] box would NOT work: the min/max-swapped slab test turns it
+    # into an all-encompassing box that defeats the cull.)
     v0 = scene.tri_v0
     v1 = v0 + scene.tri_e1
     v2 = v0 + scene.tri_e2
@@ -223,6 +228,9 @@ def _prep(scene, o, d, tmin, tmax):
             [bb_max, jnp.full((pad_t, 3), -BIG, jnp.float32)])
     c_min = bb_min.reshape(n_chunks, TRI_CHUNK, 3).min(axis=1)
     c_max = bb_max.reshape(n_chunks, TRI_CHUNK, 3).max(axis=1)
+    empty = (c_min[:, :1] > c_max[:, :1])  # no valid tri in chunk
+    c_min = jnp.where(empty, BIG, c_min)
+    c_max = jnp.where(empty, BIG, c_max)
     box = [c_min[:, 0][None, :], c_min[:, 1][None, :], c_min[:, 2][None, :],
            c_max[:, 0][None, :], c_max[:, 1][None, :], c_max[:, 2][None, :]]
 

@@ -163,6 +163,13 @@ def _make_handler(state, width):
                 self._send(200, "text/html", page.encode())
 
         def do_POST(self):
+            # Reject cross-origin POSTs: the server binds localhost, but a
+            # hostile page could still POST to it from the browser. Browsers
+            # always send Host; require it to be local.
+            host = (self.headers.get("Host") or "").split(":")[0]
+            if host not in ("127.0.0.1", "localhost", "[::1]"):
+                self._send(403, "application/json", b'{"error":"bad host"}')
+                return
             n = int(self.headers.get("Content-Length", 0))
             try:
                 msg = json.loads(self.rfile.read(n) or b"{}")
@@ -181,6 +188,7 @@ def run_preview(scene, camera, width=256, height=256, max_bounces=2,
                 reference_compat=False):
     """Serve the interactive preview; blocks until interrupted (or
     max_seconds). Returns the final accumulated image."""
+    from .integrate.cutout import scene_uses_alpha_cutout
     from .integrate.path import render_sample
     from .scene.flatten import (scene_active_lobes, scene_flat_shading,
                                 scene_uses_textures)
@@ -188,6 +196,7 @@ def run_preview(scene, camera, width=256, height=256, max_bounces=2,
     lobes = scene_active_lobes(scene)
     use_tex = scene_uses_textures(scene)
     flat = scene_flat_shading(scene)
+    use_cutout = scene_uses_alpha_cutout(scene)
 
     state = PreviewState(camera)
     server = ThreadingHTTPServer(("127.0.0.1", port),
@@ -210,13 +219,17 @@ def run_preview(scene, camera, width=256, height=256, max_bounces=2,
                     samples_mark = 0
                     t_mark = time.time()
                     state.moved = False
-                cam = state.camera
+                # Snapshot the raygen params while still holding the lock:
+                # HTTP handlers mutate position/rotation in place under it,
+                # so reading them outside could tear the camera matrix.
+                pos, iv, ip = state.camera.raygen_params(width, height)
                 s = state.samples
-            pos, iv, ip = cam.raygen_params(width, height)
             frame = render_sample(scene, pos, iv, ip, width, height,
                                   jnp.uint32(s), max_bounces,
                                   intersect_method, reference_compat,
-                                  lobes, use_tex, flat_shading=flat)
+                                  lobes, use_tex,
+                                  use_alpha_cutout=use_cutout,
+                                  flat_shading=flat)
             accum = accum + (frame - accum) / (s + 1)
             png = _encode_png(accum)
             now = time.time()

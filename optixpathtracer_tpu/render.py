@@ -67,17 +67,52 @@ def render_config(cfg: RenderConfig, scene=None, camera=None):
         accum, start = load_checkpoint(cfg.checkpoint)
         print(f"resumed from {cfg.checkpoint} at sample {start}")
 
+    from .integrate.cutout import scene_uses_alpha_cutout
     lobes = scene_active_lobes(scene)
     use_tex = scene_uses_textures(scene)
     flat = scene_flat_shading(scene)
+    use_cutout = scene_uses_alpha_cutout(scene)
     pos, inv_view, inv_proj = camera.raygen_params(cfg.width, cfg.height)
+
+    frame_fn = None
+    if cfg.sharded:
+        # Production multi-device path: pixel rows sharded over every local
+        # chip (and every host under jax.distributed) - the scaling axis the
+        # reference's single-GPU design never had (`OptixRenderer.cpp:69-71`).
+        import jax
+        from .dist import make_mesh, render_sample_sharded
+        mesh = make_mesh()
+        n = mesh.devices.size
+        if n > 1 and cfg.height % n == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            @jax.jit
+            def frame_fn(scene, s):
+                return render_sample_sharded(
+                    mesh, scene, pos, inv_view, inv_proj,
+                    cfg.width, cfg.height, s, cfg.max_bounces,
+                    cfg.intersect, lobes, cfg.reference_compat,
+                    use_tex, use_cutout, flat)
+
+            # keep the accumulator sharded like the frames: the running-mean
+            # update then runs with zero cross-device traffic
+            accum = jax.device_put(
+                accum, NamedSharding(mesh, P(mesh.axis_names[0])))
+        else:
+            print(f"sharded: falling back to single-device "
+                  f"({n} devices, height {cfg.height})")
+
     t0 = time.time()
     for s in range(start, cfg.spp):
-        frame = render_sample(scene, pos, inv_view, inv_proj,
-                              cfg.width, cfg.height, jnp.uint32(s),
-                              cfg.max_bounces, cfg.intersect,
-                              cfg.reference_compat, lobes, use_tex,
-                              flat_shading=flat)
+        if frame_fn is not None:
+            frame = frame_fn(scene, jnp.uint32(s))
+        else:
+            frame = render_sample(scene, pos, inv_view, inv_proj,
+                                  cfg.width, cfg.height, jnp.uint32(s),
+                                  cfg.max_bounces, cfg.intersect,
+                                  cfg.reference_compat, lobes, use_tex,
+                                  use_alpha_cutout=use_cutout,
+                                  flat_shading=flat)
         accum = accum + (frame - accum) / (s + 1)
         done = s + 1
         if cfg.log_every and done % cfg.log_every == 0:

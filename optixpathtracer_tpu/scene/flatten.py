@@ -24,6 +24,62 @@ from .types import Model, PointLight
 
 TEXTURE_RES = 256  # uniform texture array resolution (bilinear-resampled)
 PAD_MULTIPLE = 8   # pad triangle count so wavefront gathers stay aligned
+MAX_WALK_CHUNKS = 4096  # chunk-BVH leaf count cap: keeps the SMEM-resident
+                        # node arrays (2*C nodes * 36 B) under ~300 KB
+
+
+def _walk_chunk_size(t_pad: int) -> int:
+    """Triangles per walk chunk: 128 (the Mosaic SMEM lane quantum) scaled
+    up in powers of two so n_chunks <= MAX_WALK_CHUNKS."""
+    chunk = 128
+    while t_pad > chunk * MAX_WALK_CHUNKS:
+        chunk *= 2
+    return chunk
+
+
+def _build_walk_arrays(v0, e1, e2, valid):
+    """Pack triangles as [n_chunks, 9, CHUNK] for single-DMA leaf fetches
+    and build the chunk-level skip-link BVH (SMEM-resident top level of the
+    hierarchical Pallas kernel). Triangles are already in triangle-BVH leaf
+    order, so consecutive chunks are spatially tight."""
+    from . import bvh as bvh_mod
+
+    t = len(v0)
+    chunk = _walk_chunk_size(t)
+    n_chunks = -(-t // chunk)
+    t_pad = n_chunks * chunk
+    pad = t_pad - t
+
+    def _pad(a, fill):
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+
+    v0p = _pad(v0.astype(np.float32), 1e10)
+    e1p = _pad(e1.astype(np.float32), 0.0)
+    e2p = _pad(e2.astype(np.float32), 0.0)
+    validp = np.concatenate([valid, np.zeros(pad, bool)]) if pad else valid
+
+    tris = np.concatenate([v0p, e1p, e2p], axis=1)  # [T_pad, 9]
+    walk_tris = np.ascontiguousarray(
+        tris.reshape(n_chunks, chunk, 9).transpose(0, 2, 1))
+
+    # chunk AABBs over valid triangles; empty chunks get a far-away point
+    # box that fails every slab test (cf. intersect/pallas_kernels.py)
+    v1p = v0p + e1p
+    v2p = v0p + e2p
+    big = np.float32(3.4e38)
+    bb_min = np.where(validp[:, None],
+                      np.minimum(np.minimum(v0p, v1p), v2p), big)
+    bb_max = np.where(validp[:, None],
+                      np.maximum(np.maximum(v0p, v1p), v2p), -big)
+    c_min = bb_min.reshape(n_chunks, chunk, 3).min(axis=1)
+    c_max = bb_max.reshape(n_chunks, chunk, 3).max(axis=1)
+    empty = c_min[:, :1] > c_max[:, :1]
+    c_min = np.where(empty, big, c_min)
+    c_max = np.where(empty, big, c_max)
+
+    tree = bvh_mod.build_chunk_bvh(c_min, c_max)
+    return walk_tris, tree.node_box, tree.node_link
 
 
 class SceneData(NamedTuple):
@@ -60,10 +116,22 @@ class SceneData(NamedTuple):
     bvh_skip: jnp.ndarray    # [N] int32
     bvh_first: jnp.ndarray   # [N] int32
     bvh_count: jnp.ndarray   # [N] int32
+    # Hierarchical Pallas walk kernel data (intersect/walk_kernels.py):
+    # triangles re-packed per chunk for single-DMA leaf fetches, plus the
+    # SMEM-resident chunk-level skip-link BVH (scene/bvh.py build_chunk_bvh).
+    # Empty ([0, ...]) when built with build_bvh=False.
+    walk_tris: jnp.ndarray
+    walk_node_box: jnp.ndarray
+    walk_node_link: jnp.ndarray
 
     @property
     def num_triangles(self):
         return self.tri_v0.shape[0]
+
+    @property
+    def walk_chunk(self):
+        """Static triangles-per-chunk of the walk layout."""
+        return self.walk_tris.shape[2]
 
     @property
     def num_lights(self):
@@ -177,10 +245,15 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
         normals, uvs, tri_mat = normals[order], uvs[order], tri_mat[order]
         bvh_arrays = (tree.node_min, tree.node_max, tree.node_skip,
                       tree.node_first, tree.node_count)
+        walk_arrays = _build_walk_arrays(
+            v0, v1 - v0, v2 - v0, np.ones(len(v0), bool))
     else:
         bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
                       np.ones(1, np.int32), np.zeros(1, np.int32),
                       np.zeros(1, np.int32))
+        walk_arrays = (np.zeros((0, 9, 1), np.float32),
+                       np.zeros((6, 0), np.float32),
+                       np.zeros((3, 0), np.int32))
 
     # --- pad to multiple (degenerate far-away triangles never hit)
     t_pad = -(-t_real // PAD_MULTIPLE) * PAD_MULTIPLE
@@ -249,4 +322,7 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
         bvh_skip=jnp.asarray(bvh_arrays[2]),
         bvh_first=jnp.asarray(bvh_arrays[3]),
         bvh_count=jnp.asarray(bvh_arrays[4]),
+        walk_tris=jnp.asarray(walk_arrays[0]),
+        walk_node_box=jnp.asarray(walk_arrays[1]),
+        walk_node_link=jnp.asarray(walk_arrays[2]),
     )

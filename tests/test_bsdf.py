@@ -242,6 +242,111 @@ class TestGlossyDiffuse:
         np.testing.assert_allclose(f_up, f_dn, atol=1e-6)
 
 
+def _chi2_hemisphere(direction, pdf_fn, n, hemi="up", n_cos=8, n_phi=8,
+                     quad=4, tail_cut=0.0):
+    """Chi-squared of a sampled-direction histogram against the analytic
+    pdf, over an equal-solid-angle (cos-theta x phi) grid on one hemisphere
+    (the reference's disabled FrequencyTable/IntegrateFrequencyTable test,
+    `SpherGeom_Test.cpp:322-408`, with a fixed quadrature instead of
+    adaptive Simpson). `n` must be the TOTAL number of draws (the pdf's
+    normalization), not the accepted count - VNDF rejection makes them
+    differ. Returns (chi2, n_bins_used)."""
+    d = np.asarray(direction)
+    cos_t = d[:, 2] if hemi == "up" else -d[:, 2]
+    phi = np.arctan2(d[:, 1], d[:, 0]) % (2 * np.pi)
+    sel = cos_t > 0.0
+    cos_t, phi = cos_t[sel], phi[sel]
+    hist, _, _ = np.histogram2d(cos_t, phi, bins=(n_cos, n_phi),
+                                range=((0, 1), (0, 2 * np.pi)))
+
+    # integrate the analytic pdf over each bin with a quad x quad midpoint
+    # rule (solid angle element = dcos * dphi)
+    qc = (np.arange(quad) + 0.5) / quad
+    cos_centers = (np.arange(n_cos)[:, None] + qc[None, :]) / n_cos
+    phi_centers = (np.arange(n_phi)[:, None] + qc[None, :]) / n_phi * 2 * np.pi
+    cc = np.repeat(cos_centers.reshape(-1), n_phi * quad)
+    pp = np.tile(phi_centers.reshape(-1), n_cos * quad)
+    sin_t = np.sqrt(np.maximum(1.0 - cc * cc, 0.0))
+    z = cc if hemi == "up" else -cc
+    w = np.stack([sin_t * np.cos(pp), sin_t * np.sin(pp), z], axis=-1)
+    p = np.asarray(pdf_fn(jnp.asarray(w, jnp.float32)))
+    p = p.reshape(n_cos, quad, n_phi, quad).mean(axis=(1, 3))
+    expected = p * (1.0 / n_cos) * (2 * np.pi / n_phi) * n
+
+    # Bin validity: the usual count>5 floor. tail_cut>0 additionally drops
+    # bins holding < tail_cut of the hemisphere's mass - needed for rough
+    # transmission, where near the refracted-cone fold the half-vector -> wi
+    # mapping has multiple roots and the PBRT-style single-root pdf (which
+    # the reference inherits, `Dielectric.h:290-343`) undercounts by design
+    # - a known approximation, not a sampling bug. The excluded mass must
+    # stay small for the test to remain meaningful.
+    total = expected.sum()
+    mask = expected > 5.0
+    if tail_cut:
+        mask &= expected > tail_cut * total
+        assert expected[~mask].sum() < 0.05 * max(total, 1e-9)
+    chi2 = (((hist - expected) ** 2 / np.maximum(expected, 1e-9))[mask]).sum()
+    return chi2, int(mask.sum())
+
+
+class TestChiSquared:
+    """Histogram-vs-analytic-pdf distribution tests for the rough lobes -
+    the machinery the reference sketched but never enabled
+    (`SpherGeom_Test.cpp:258-298`)."""
+
+    def test_conductor_rough_sampling_matches_pdf(self):
+        n = 1 << 17
+        wo = jnp.broadcast_to(cm.normalize(jnp.array([0.5, 0.1, 0.85])),
+                              (n, 3))
+        r = jnp.full((n,), 0.8)
+        seeds = rng.tea(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(101))
+        _, s = conductor.sample(seeds, jnp.ones((n, 3)), r, wo)
+        d = np.asarray(s.direction)[np.asarray(s.valid)]
+
+        def pdf_fn(w):
+            m = w.shape[0]
+            return conductor.pdf(jnp.full((m,), 0.8),
+                                 jnp.broadcast_to(wo[0], (m, 3)), w)
+
+        chi2, dof = _chi2_hemisphere(d, pdf_fn, n)
+        assert dof >= 10
+        # VNDF reflection can land below the horizon and is rejected, so
+        # the acceptance rate is < 1 at high roughness; the pdf integral
+        # over the accepted region equals that rate, which the chi-squared
+        # normalization above accounts for.
+        assert len(d) > 0.6 * n
+        assert chi2 < 2.0 * dof, (chi2, dof)
+
+    def test_dielectric_rough_reflection_and_transmission_bins(self):
+        """Both hemispheres: reflection bins above, transmission bins below,
+        each against the analytic pdf restricted to that branch."""
+        n = 1 << 17
+        wo = jnp.broadcast_to(cm.normalize(jnp.array([0.35, -0.15, 0.9])),
+                              (n, 3))
+        r = jnp.full((n,), 0.8)
+        seeds = rng.tea(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(303))
+        _, s = dielectric.sample(seeds, r, wo)
+        valid = np.asarray(s.valid)
+        d = np.asarray(s.direction)[valid]
+        n_valid = len(d)
+        assert n_valid > 0.95 * n
+
+        def pdf_fn(w):
+            m = w.shape[0]
+            return dielectric.pdf(jnp.full((m,), 0.8),
+                                  jnp.broadcast_to(wo[0], (m, 3)), w)
+
+        n_up = int((d[:, 2] > 0).sum())
+        n_dn = n_valid - n_up
+        assert n_up > 1000 and n_dn > 1000  # both branches exercised
+        chi2_up, dof_up = _chi2_hemisphere(d, pdf_fn, n, hemi="up", quad=8)
+        chi2_dn, dof_dn = _chi2_hemisphere(d, pdf_fn, n, hemi="down", quad=8,
+                                           tail_cut=0.01)
+        assert dof_up >= 8 and dof_dn >= 4
+        assert chi2_up < 3.0 * dof_up, (chi2_up, dof_up)
+        assert chi2_dn < 3.0 * dof_dn, (chi2_dn, dof_dn)
+
+
 class TestDispatch:
     def test_types_route_correctly(self):
         n = 5
@@ -266,6 +371,30 @@ class TestDispatch:
             fv[1], conductor.f(mat.albedo, mat.roughness, wo, wi)[1],
             atol=1e-6)
         np.testing.assert_allclose(fv[4], fv[0], atol=1e-6)
+
+    def test_pdf_layered_guarded(self):
+        """dispatch.pdf has no honest layered pdf: by default layered lanes
+        must return NaN (loud) instead of the entrance-lobe approximation
+        (silent bias); the approximation is opt-in via layered='approx'."""
+        n = 2
+        wo = jnp.broadcast_to(cm.normalize(jnp.array([0.2, 0.1, 0.95])),
+                              (n, 3))
+        wi = jnp.broadcast_to(cm.normalize(jnp.array([-0.3, 0.2, 0.9])),
+                              (n, 3))
+        mat = dispatch.MaterialParams(
+            albedo=jnp.full((n, 3), 0.8),
+            metallic=jnp.zeros((n,)),
+            roughness=jnp.full((n,), 0.5),
+            ior=jnp.full((n,), 1.5),
+            mat_type=jnp.array([dispatch.DIFFUSE, dispatch.GLOSSY_DIFFUSE],
+                               jnp.int32))
+        p = np.asarray(dispatch.pdf(mat, wo, wi))
+        assert np.isfinite(p[0]) and p[0] > 0.0
+        assert np.isnan(p[1])
+        p2 = np.asarray(dispatch.pdf(mat, wo, wi, layered="approx"))
+        assert np.isfinite(p2).all() and p2[1] > 0.0
+        with pytest.raises(ValueError):
+            dispatch.pdf(mat, wo, wi, layered="bogus")
 
     def test_metallic_mix_resolution(self):
         n = 4096

@@ -61,6 +61,23 @@ class TestImageGradients:
         assert np.isfinite(np.asarray(grads["mat_roughness"])).all()
         assert np.isfinite(np.asarray(grads["mat_ior"])).all()
 
+    def test_multibounce_gradients_finite(self):
+        """Reverse-mode through the multi-bounce path: exactly what the
+        safe_sqrt/fresnel_dielectric NaN guards protect (grazing TIR on
+        secondary bounces). 8x8 at max_bounces=2 on a dielectric+layered
+        scene locks in the NaN-guard behavior cheaply."""
+        model, camera, lights = PRESETS["dielectric"]()
+        scene = flatten_model(model, lights)
+        cam_params = camera.raygen_params(8, 8)
+        grads = param_gradients(scene, cam_params, 8, 8, [0],
+                                fields=("mat_roughness", "mat_ior",
+                                        "mat_albedo"),
+                                max_bounces=2)
+        for field, g in grads.items():
+            g = np.asarray(g)
+            assert np.isfinite(g).all(), field
+        assert np.abs(np.asarray(grads["mat_albedo"])).max() > 0.0
+
 
 class TestBSDFParameterDerivatives:
     """Deterministic derivative checks at the BSDF-eval level (no sampling
