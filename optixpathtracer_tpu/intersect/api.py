@@ -23,6 +23,11 @@ from .types import Hit
 BRUTE_FORCE_MAX_TRIS = 2048
 
 
+# Below this chunk count the dense sweep's linear cull is cheaper than
+# skip-link traversal overhead (small scenes fit a handful of chunks).
+WALK_MIN_CHUNKS = 8
+
+
 def _resolve(method: str, scene) -> str:
     if method != "auto":
         return method
@@ -30,8 +35,11 @@ def _resolve(method: str, scene) -> str:
     if jax.default_backend() == "tpu":
         # Measured on v5e: the dense Pallas sweep beats the vmapped
         # while-loop BVH by ~45x at 20k tris (gather-heavy divergent
-        # traversal is pathological on TPU). Route everything dense until
-        # the hierarchical Pallas kernel lands.
+        # traversal is pathological on TPU). Large scenes route to the
+        # hierarchical walk kernel (block-level skip-link BVH traversal +
+        # per-leaf DMA sweep); small ones stay dense.
+        if (scene.walk_tris.shape[0] >= WALK_MIN_CHUNKS):
+            return "walk"
         return "pallas"
     return "brute" if n <= BRUTE_FORCE_MAX_TRIS else "bvh"
 
@@ -40,6 +48,9 @@ def _engine(method: str):
     if method == "pallas":
         from . import pallas_kernels
         return pallas_kernels
+    if method == "walk":
+        from . import walk_kernels
+        return walk_kernels
     return brute if method == "brute" else bvh_traverse
 
 

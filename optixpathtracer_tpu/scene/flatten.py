@@ -24,8 +24,10 @@ from .types import Model, PointLight
 
 TEXTURE_RES = 256  # uniform texture array resolution (bilinear-resampled)
 PAD_MULTIPLE = 8   # pad triangle count so wavefront gathers stay aligned
-MAX_WALK_CHUNKS = 4096  # chunk-BVH leaf count cap: keeps the SMEM-resident
-                        # node arrays (2*C nodes * 36 B) under ~300 KB
+MAX_WALK_CHUNKS = 2048  # chunk-BVH leaf count cap: bounds the SMEM-resident
+                        # node arrays (2*C nodes * 36 B) AND the walk sweep
+                        # kernel's scalar-prefetch candidate table
+                        # (GROUP_BLOCKS * C int32, intersect/walk_kernels.py)
 
 
 def _walk_chunk_size(t_pad: int) -> int:
