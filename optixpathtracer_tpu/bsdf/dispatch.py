@@ -75,6 +75,20 @@ def resolve_stochastic_lobe(seed, mat: MaterialParams):
 ALL_LOBES = (DIFFUSE, CONDUCTOR, DIELECTRIC, GLOSSY_DIFFUSE)
 
 
+def _mirror_z(v):
+    """Reflect a local-frame direction through the tangent plane."""
+    return v * jnp.array([1.0, 1.0, -1.0], v.dtype)
+
+
+# Two-sidedness: surfaces keep their true (winding) orientation, so backface
+# hits see wo.z < 0. The reference handles this by flipping normals on
+# backface hits (`devicePrograms.cu:379-382`); the dielectric here instead
+# needs the TRUE orientation (signed cos drives the eta flip), so the
+# one-sided lobes (diffuse, conductor) are made two-sided PBRT-style at
+# dispatch: mirror wo/wi through the tangent plane when wo.z < 0 (the
+# layered lobe already self-flips, `GlossyDiffuse.h:110-135`).
+
+
 def f(seed, mat: MaterialParams, wo, wi, active_lobes=ALL_LOBES):
     """Evaluate the BSDF for every lane (resolved types only - call
     `resolve_stochastic_lobe` first). Returns (seed, rgb).
@@ -84,12 +98,17 @@ def f(seed, mat: MaterialParams, wo, wi, active_lobes=ALL_LOBES):
     (e.g. an all-diffuse Cornell never traces the layered walk).
     """
     t = mat.mat_type[..., None]
+    flip = (wo[..., 2] < 0.0)[..., None]
+    wo_m = jnp.where(flip, _mirror_z(wo), wo)
+    wi_m = jnp.where(flip, _mirror_z(wi), wi)
     out = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
     if DIFFUSE in active_lobes:
-        out = jnp.where(t == DIFFUSE, _diffuse.f(mat.albedo, wo, wi), out)
+        out = jnp.where(t == DIFFUSE, _diffuse.f(mat.albedo, wo_m, wi_m),
+                        out)
     if CONDUCTOR in active_lobes:
         out = jnp.where(t == CONDUCTOR,
-                        _conductor.f(mat.albedo, mat.roughness, wo, wi), out)
+                        _conductor.f(mat.albedo, mat.roughness, wo_m, wi_m),
+                        out)
     if DIELECTRIC in active_lobes:
         # Pure dielectric lobe modulated by albedo as in the reference's
         # commented dispatch (`devicePrograms.cu:333`).
@@ -106,14 +125,21 @@ def f(seed, mat: MaterialParams, wo, wi, active_lobes=ALL_LOBES):
 def sample(seed, mat: MaterialParams, wo, active_lobes=ALL_LOBES):
     """Importance-sample the BSDF per lane. Returns (seed, BSDFSample)."""
     t = mat.mat_type
+    flip = (wo[..., 2] < 0.0)[..., None]
+    wo_m = jnp.where(flip, _mirror_z(wo), wo)
+
+    def _unflip(s):
+        return s._replace(direction=jnp.where(flip, _mirror_z(s.direction),
+                                              s.direction))
+
     out = BSDFSample.invalid(wo.shape[:-1])
     if DIFFUSE in active_lobes:
-        seed, s_diffuse = _diffuse.sample(seed, mat.albedo, wo)
-        out = where_sample(t == DIFFUSE, s_diffuse, out)
+        seed, s_diffuse = _diffuse.sample(seed, mat.albedo, wo_m)
+        out = where_sample(t == DIFFUSE, _unflip(s_diffuse), out)
     if CONDUCTOR in active_lobes:
         seed, s_conductor = _conductor.sample(seed, mat.albedo,
-                                              mat.roughness, wo)
-        out = where_sample(t == CONDUCTOR, s_conductor, out)
+                                              mat.roughness, wo_m)
+        out = where_sample(t == CONDUCTOR, _unflip(s_conductor), out)
     if DIELECTRIC in active_lobes:
         seed, s_dielectric = _dielectric.sample(seed, mat.roughness, wo,
                                                 eta=mat.ior)
@@ -143,8 +169,11 @@ def pdf(mat: MaterialParams, wo, wi, layered: str = "error"):
     """
     if layered not in ("error", "approx"):
         raise ValueError(f"layered={layered!r} (want 'error' or 'approx')")
-    p_diffuse = _diffuse.pdf(wo, wi)
-    p_conductor = _conductor.pdf(mat.roughness, wo, wi)
+    flip = (wo[..., 2] < 0.0)[..., None]
+    wo_m = jnp.where(flip, _mirror_z(wo), wo)
+    wi_m = jnp.where(flip, _mirror_z(wi), wi)
+    p_diffuse = _diffuse.pdf(wo_m, wi_m)
+    p_conductor = _conductor.pdf(mat.roughness, wo_m, wi_m)
     p_dielectric = _dielectric.pdf(mat.roughness, wo, wi, eta=mat.ior)
     if layered == "approx":
         # Layered: coat reflection + diffuse lobe mix as a usable proxy.

@@ -56,20 +56,7 @@ def _coherence_sort_key(scene, o, d, alive):
     restores the culling rate (the TPU analog of the ray-sorting stage in
     wavefront GPU path tracers). Dead lanes sort to the end where their
     blocks are culled en masse."""
-    if scene.bvh_min.shape[0] > 0:
-        root_min = scene.bvh_min[0]
-        root_max = scene.bvh_max[0]
-    else:
-        # Scene flattened without BVH nodes: derive the bounds from the
-        # triangles instead (static shape check, so this is free under jit).
-        v0 = scene.tri_v0
-        v1 = v0 + scene.tri_e1
-        v2 = v0 + scene.tri_e2
-        ok = scene.tri_valid[:, None]
-        root_min = jnp.where(ok, jnp.minimum(jnp.minimum(v0, v1), v2),
-                             jnp.inf).min(axis=0)
-        root_max = jnp.where(ok, jnp.maximum(jnp.maximum(v0, v1), v2),
-                             -jnp.inf).max(axis=0)
+    root_min, root_max = _scene_bounds(scene)
     root_ext = jnp.maximum(root_max - root_min, 1e-6)
     scale = float(1 << MORTON_BITS)
     q = jnp.clip((o - root_min) / root_ext * scale, 0.0,
@@ -81,6 +68,56 @@ def _coherence_sort_key(scene, o, d, alive):
               | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
     key = (morton << 3) | octant
     return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+
+
+N_CELLS = 8    # coarse origin cells (2x2x2 halves of the scene AABB)
+N_BUCKETS = N_CELLS * 8 + 1  # x direction octants, +1 for dead lanes
+
+
+def _scene_bounds(scene):
+    if scene.bvh_min.shape[0] > 0:
+        return scene.bvh_min[0], scene.bvh_max[0]
+    v0 = scene.tri_v0
+    v1 = v0 + scene.tri_e1
+    v2 = v0 + scene.tri_e2
+    ok = scene.tri_valid[:, None]
+    root_min = jnp.where(ok, jnp.minimum(jnp.minimum(v0, v1), v2),
+                         jnp.inf).min(axis=0)
+    root_max = jnp.where(ok, jnp.maximum(jnp.maximum(v0, v1), v2),
+                         -jnp.inf).max(axis=0)
+    return root_min, root_max
+
+
+def _bucket_permutation(scene, o, d, alive):
+    """Counting-sort permutation over N_BUCKETS coherence buckets (origin
+    2x2x2 cell x direction octant; dead lanes last).
+
+    The cheap replacement for the full Morton argsort: one [R, N_BUCKETS]
+    one-hot cumsum instead of an O(R log R) comparison sort - a few hundred
+    microseconds of VPU-friendly scans per 65k-ray wavefront instead of the
+    ~7 ms argsort that made the coherence sort a net loss. Buckets keep each
+    [RAY_SUB, 128] Pallas block's rays spatially tight so its cluster/BVH
+    culling fires (the TPU analog of GPU wavefront ray binning)."""
+    root_min, root_max = _scene_bounds(scene)
+    mid = 0.5 * (root_min + root_max)
+    cell = ((o[:, 0] >= mid[0]).astype(jnp.int32)
+            | ((o[:, 1] >= mid[1]).astype(jnp.int32) << 1)
+            | ((o[:, 2] >= mid[2]).astype(jnp.int32) << 2))
+    octant = ((d[:, 0] >= 0).astype(jnp.int32)
+              | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.int32) << 2))
+    key = jnp.where(alive, cell * 8 + octant, N_BUCKETS - 1)
+    onehot = (key[:, None] == jnp.arange(N_BUCKETS)[None, :]).astype(
+        jnp.int32)
+    inc = jnp.cumsum(onehot, axis=0)           # [R, K] inclusive ranks
+    within = jnp.take_along_axis(inc, key[:, None], axis=1)[:, 0] - 1
+    counts = inc[-1]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = offsets[key] + within               # destination of each lane
+    r = o.shape[0]
+    return jnp.zeros((r,), jnp.int32).at[rank].set(
+        jnp.arange(r, dtype=jnp.int32))
 
 
 def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
@@ -108,10 +145,14 @@ def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
     dist = length(to_light)
     wl = normalize(to_light)
 
-    # Shadow ray: offset along the geometric normal, tmax at the light
-    # (`devicePrograms.cu:216-241`). Dead lanes get tmax=-1 so the
-    # intersection kernels cull their blocks instantly.
-    shadow_o = surf.position + SHADOW_OFFSET * surf.g_normal
+    # Shadow ray: offset along the geometric normal toward the LIGHT's side
+    # (`devicePrograms.cu:216-241` offsets along its ray-facing flipped
+    # normal; ours keeps true winding orientation, so orient by the light
+    # direction - backface hits would otherwise self-shadow). Dead lanes get
+    # tmax=-1 so the intersection kernels cull their blocks instantly.
+    toward_light = jnp.where(dot(wl, surf.g_normal) < 0.0, -1.0, 1.0)
+    shadow_o = (surf.position
+                + (SHADOW_OFFSET * toward_light)[..., None] * surf.g_normal)
     shadow_tmax = jnp.where(alive, dist, -1.0)
     if use_alpha_cutout:
         blocked = intersect_any_cutout(scene, shadow_o, wl, 0.0, shadow_tmax,
@@ -149,12 +190,15 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
     debug_pixel (static): flat lane index whose per-bounce surface state is
     printed - the analog of the reference's debug-ray printf facility
     (`RayData.h:19`, `devicePrograms.cu:428-437`).
-    sort_rays (static): re-sort the wavefront by spatial coherence key each
-    secondary bounce (see _coherence_sort_key). Per-lane arithmetic is
-    order-invariant, so images are bit-identical either way. Default OFF:
-    measured on v5e, jnp.argsort + permute costs ~7 ms per 65k-ray frame
-    while the block-culling gain at 4096-ray block granularity is smaller;
-    flip on for scenes/shapes where coherence wins."""
+    sort_rays (static): re-sort the wavefront by spatial coherence each
+    secondary bounce. True (the cheap path) uses the counting-sort bucket
+    permutation (_bucket_permutation: origin cell x direction octant via
+    one-hot cumsum - no comparison sort); "morton" uses the original full
+    Morton argsort (~7 ms per 65k rays on v5e, kept for comparison). Per-lane
+    arithmetic is order-invariant, so images are bit-identical either way.
+    Default OFF: on v5e the bucket permutation costs ~1 ms per bounce while
+    block-level culling on the bench scenes gains less; flip on for large
+    scenes with incoherent bounce wavefronts."""
     r = o.shape[0]
     radiance = jnp.zeros((r, 3), jnp.float32)
     beta = jnp.ones((r, 3), jnp.float32)
@@ -165,7 +209,10 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
 
     for _bounce in range(max_bounces):
         if sort_rays and _bounce and debug_pixel is None:
-            perm = jnp.argsort(_coherence_sort_key(scene, o, d, alive))
+            if sort_rays == "morton":
+                perm = jnp.argsort(_coherence_sort_key(scene, o, d, alive))
+            else:
+                perm = _bucket_permutation(scene, o, d, alive)
             o, d, seed = o[perm], d[perm], seed[perm]
             beta, radiance = beta[perm], radiance[perm]
             alive, pix = alive[perm], pix[perm]

@@ -83,11 +83,16 @@ def _node_test(rays, node_box, i, limit):
 # ---------------------------------------------------------------------------
 
 def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
+    # NOTE: cand/count SMEM outputs are mapped as ONE whole-array block
+    # (constant index map) revisited by every grid step, with rows indexed
+    # by program_id inside the kernel - Mosaic rejects (1, N) blocks over a
+    # (g, N) SMEM array (sublane dim must be 8-divisible or whole).
     def kernel(*refs):
         rays = refs[:_N_RAY]
         node_box = refs[_N_RAY]
         node_link = refs[_N_RAY + 1]
         cand_ref, count_ref = refs[_N_RAY + 2:]
+        blk = pl.program_id(0)
 
         tmax = rays[10][:]
 
@@ -104,24 +109,24 @@ def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
 
             @pl.when(found)
             def _append():
-                cand_ref[0, n_found] = node_link[1, i]
+                cand_ref[blk, n_found] = node_link[1, i]
 
             nxt = jnp.where(any_hit & (~is_leaf), i + 1, skip)
             return nxt, n_found + found.astype(jnp.int32)
 
         _, n_found = jax.lax.while_loop(cond, body, (jnp.int32(0),
                                                      jnp.int32(0)))
-        count_ref[0, 0] = n_found
+        count_ref[blk, 0] = n_found
 
         # Pad the tail with the last real candidate (chunk 0 if none): the
         # sweep pipeline sees an unchanged index and skips the re-fetch.
-        last = jnp.where(n_found > 0, cand_ref[0, jnp.maximum(n_found - 1,
-                                                              0)], 0)
+        last = jnp.where(n_found > 0, cand_ref[blk, jnp.maximum(n_found - 1,
+                                                                0)], 0)
 
         def pad_body(k, _):
             @pl.when(k >= n_found)
             def _w():
-                cand_ref[0, k] = last
+                cand_ref[blk, k] = last
             return 0
 
         jax.lax.fori_loop(0, maxc_pad, pad_body, 0)
@@ -313,9 +318,9 @@ def _candidates(scene, rays_g, g):
                             memory_space=pltpu.SMEM)
     link_spec = pl.BlockSpec((3, link.shape[1]), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
-    cand_spec = pl.BlockSpec((1, maxc_pad), lambda i: (i, 0),
+    cand_spec = pl.BlockSpec((g, maxc_pad), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
-    count_spec = pl.BlockSpec((1, LANES), lambda i: (i, 0),
+    count_spec = pl.BlockSpec((g, LANES), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
 
     cand, count = pl.pallas_call(

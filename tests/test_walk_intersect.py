@@ -13,7 +13,7 @@ from optixpathtracer_tpu.scene import Material, Model, PointLight, flatten_model
 from optixpathtracer_tpu.scene.procedural import quad, uv_sphere
 
 
-def _make(n_spheres_side=3, segs=12):
+def _make(n_spheres_side=2, segs=6):
     """Multi-chunk scene: a grid of spheres over a floor (~n^3 * 2*segs^2
     tris) so the chunk BVH has real structure to traverse."""
     mat = Material(mat_type="diffuse")
