@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..bsdf import dispatch
 from ..camera.camera import generate_rays
 from ..core import rng
-from ..core.math import abs_cos_theta, length, length_sqr, normalize
+from ..core.math import abs_cos_theta, dot, length, length_sqr, normalize
 from ..intersect import intersect_any, intersect_closest
 from .cutout import intersect_any_cutout, intersect_closest_cutout
 from .surface import make_surface
