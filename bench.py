@@ -1,16 +1,30 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
-Measures wavefront path-tracing throughput (Mrays/s) on the default device
-(real TPU under the driver; CPU elsewhere): Cornell preset, 256x256, 2
-bounces + NEE shadow rays, 1-spp frames after a compile warmup.
+Three measurements (VERDICT r2 items 3/4: the round-1 bench was blind to
+the walk kernel, textures, the layered BSDF, and the backward pass):
+
+  value            Mrays/s forward on the Cornell preset (256x256, 2 bounces
+                   + NEE) - kept as the headline for vs_baseline continuity
+                   with rounds 1-2.
+  hall_mrays_s     Mrays/s forward on the 338k-triangle textured multi-
+                   material hall preset (all 5 material types, alpha-cutout
+                   foliage) - exercises the chunk-BVH walk kernels, the
+                   layered BSDF, and texturing: the real production path.
+  fwd_bwd_mrays_s  Mrays/s through a full material-gradient training step
+                   (render + L2 loss + grad wrt the material table) on the
+                   layered material-test scene - the BASELINE.md
+                   "forward+backward" headline. Ray accounting counts the
+                   forward rays (pixels*bounces*2); the backward sweep's
+                   extra work lands in the denominator, so this number is
+                   directly comparable to the forward ones.
 
 Ray accounting: every bounce processes the full wavefront (radiance ray +
-NEE shadow ray per lane per bounce) - that is the work the machine does, so
-rays = pixels * bounces * 2 per frame.
+NEE shadow ray per lane per bounce), so rays = pixels * bounces * 2 per
+frame.
 
-vs_baseline: ratio against the oldest recorded BENCH_r*.json (the round-1
-number), or 1.0 on the first round. The reference publishes no throughput
-numbers to compare against (BASELINE.md).
+vs_baseline: ratio against the oldest recorded BENCH_r*.json headline (the
+round-1 number). The reference publishes no throughput numbers to compare
+against (BASELINE.md).
 """
 import glob
 import json
@@ -22,48 +36,80 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bench(fn, *args):
+    """Compile + warm, then time one repetition."""
+    fn(*args).block_until_ready()
+    t0 = time.time()
+    out = fn(*args)
+    out.block_until_ready()
+    return time.time() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    from optixpathtracer_tpu.dist import make_mesh, material_grad_step
     from optixpathtracer_tpu.integrate.path import render_sample
     from optixpathtracer_tpu.scene import flatten_model
     from optixpathtracer_tpu.scene.flatten import (scene_active_lobes,
         scene_flat_shading, scene_uses_textures)
+    from optixpathtracer_tpu.integrate.cutout import scene_uses_alpha_cutout
     from optixpathtracer_tpu.scene.procedural import PRESETS
 
-    width = height = 256
     max_bounces = 2
-    frames = 8
 
-    model, camera, lights = PRESETS["scene3_cornell"]()
+    def forward_mrays(preset, width, height, frames):
+        model, camera, lights = PRESETS[preset]()
+        scene = flatten_model(model, lights)
+        lobes = scene_active_lobes(scene)
+        use_tex = scene_uses_textures(scene)
+        flat = scene_flat_shading(scene)
+        cutout = scene_uses_alpha_cutout(scene)
+        pos, inv_view, inv_proj = camera.raygen_params(width, height)
+
+        # One jitted program runs ALL frames on-device (lax.fori_loop) so
+        # the measurement sees compute, not per-frame dispatch.
+        @jax.jit
+        def render_accum(scene):
+            def body(s, acc):
+                frame = render_sample(scene, pos, inv_view, inv_proj,
+                                      width, height, s.astype(jnp.uint32),
+                                      max_bounces, "auto", False, lobes,
+                                      use_tex, use_alpha_cutout=cutout,
+                                      flat_shading=flat)
+                return acc + frame
+            return jax.lax.fori_loop(
+                0, frames, body, jnp.zeros((height, width, 3), jnp.float32))
+
+        dt = _bench(render_accum, scene)
+        rays = frames * width * height * max_bounces * 2
+        return rays / dt / 1e6
+
+    # 1) headline: Cornell forward (rounds 1-2 continuity)
+    cornell = forward_mrays("scene3_cornell", 256, 256, frames=8)
+
+    # 2) hall forward: 338k tris, walk kernels, textures, all lobes
+    hall = forward_mrays("hall", 256, 256, frames=2)
+
+    # 3) fwd+bwd: material-gradient step on the layered scene
+    model, camera, lights = PRESETS["layered"]()
     scene = flatten_model(model, lights)
     lobes = scene_active_lobes(scene)
-    use_tex = scene_uses_textures(scene)
-    flat = scene_flat_shading(scene)
-    pos, inv_view, inv_proj = camera.raygen_params(width, height)
+    width = height = 128
+    cam_params = camera.raygen_params(width, height)
+    mesh = make_mesh(1)
+    target = jnp.zeros((height, width, 3), jnp.float32)
 
-    # One jitted program runs ALL frames on-device (lax.fori_loop) so the
-    # measurement sees compute, not per-frame dispatch over the host link.
     @jax.jit
-    def render_accum(scene):
-        def body(s, acc):
-            frame = render_sample(scene, pos, inv_view, inv_proj,
-                                  width, height, s.astype(jnp.uint32),
-                                  max_bounces, "auto", False, lobes,
-                                  use_tex, flat_shading=flat)
-            return acc + frame
-        return jax.lax.fori_loop(
-            0, frames, body, jnp.zeros((height, width, 3), jnp.float32))
+    def grad_step(s):
+        new_scene, loss = material_grad_step(
+            mesh, s, cam_params, target, width, height, jnp.uint32(0),
+            max_bounces=max_bounces, active_lobes=lobes)
+        return loss
 
-    render_accum(scene).block_until_ready()  # warmup / compile
-
-    t0 = time.time()
-    render_accum(scene).block_until_ready()
-    dt = time.time() - t0
-
-    rays = frames * width * height * max_bounces * 2
-    mrays = rays / dt / 1e6
+    dt = _bench(grad_step, scene)
+    fwd_bwd = width * height * max_bounces * 2 / dt / 1e6
 
     baseline = None
     for path in sorted(glob.glob(os.path.join(os.path.dirname(
@@ -77,12 +123,14 @@ def main():
         except Exception:
             continue
 
-    vs = mrays / baseline if baseline else 1.0
+    vs = cornell / baseline if baseline else 1.0
     print(json.dumps({
         "metric": "Mrays/s (fwd path trace, cornell 256x256, 2 bounces+NEE)",
-        "value": round(mrays, 3),
+        "value": round(cornell, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
+        "hall_mrays_s": round(hall, 3),
+        "fwd_bwd_mrays_s": round(fwd_bwd, 3),
     }))
 
 

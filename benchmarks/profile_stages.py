@@ -1,0 +1,233 @@
+"""Per-stage cost breakdown + roofline verdict (PROFILE.md generator).
+
+SURVEY.md section 5.1 promises per-kernel roofline numbers; VERDICT r2 item
+6 demands a committed PROFILE.md naming the top bottleneck. This times each
+pipeline stage of a 256x256 2-bounce layered render in isolation on the
+default device and estimates, per stage, arithmetic intensity against the
+v5e speed-of-light envelope.
+
+Stage decomposition mirrors the wavefront loop (integrate/path.py
+trace_paths): raygen -> intersect (closest) -> surface/shading context ->
+NEE (occlusion + f eval) -> BSDF sample (the layered walk lives here).
+Isolated stage graphs are warmed then timed; the full render is timed
+separately, so fusion gains across stages show up as full < sum(stages).
+
+v5e speed-of-light constants (public spec): 819 GB/s HBM, ~197 bf16
+MXU TFLOP/s (unused here - no matmuls in the tracer), VPU fp32 vector
+throughput ~= 4 TFLOP/s-class (8x128 ALUs); exact VPU clocks are not
+published, so the roofline verdict is phrased as HBM-bytes vs
+VPU-op *ratios*, which is what decides the bound.
+
+Usage:
+    python benchmarks/profile_stages.py [--scene layered] [--out PROFILE.md]
+        [--trace /tmp/jax-trace]   # also dump a jax.profiler trace
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+HBM_GBPS = 819.0          # v5e HBM bandwidth
+VPU_TFLOPS = 4.0          # order-of-magnitude v5e VPU fp32 envelope
+
+
+def _time(fn, *args, reps=3):
+    out = fn(*args)
+    jax_block(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax_block(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def jax_block(out):
+    import jax
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="layered")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--max-bounces", type=int, default=2)
+    ap.add_argument("--method", default="auto")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--trace", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from optixpathtracer_tpu.bsdf import dispatch
+    from optixpathtracer_tpu.camera.camera import generate_rays
+    from optixpathtracer_tpu.core import rng
+    from optixpathtracer_tpu.integrate.path import render_sample, _nee
+    from optixpathtracer_tpu.integrate.surface import make_surface
+    from optixpathtracer_tpu.intersect import intersect_closest, intersect_any
+    from optixpathtracer_tpu.scene import flatten_model
+    from optixpathtracer_tpu.scene.flatten import (scene_active_lobes,
+        scene_flat_shading, scene_uses_textures)
+    from optixpathtracer_tpu.scene.procedural import PRESETS
+
+    model, camera, lights = PRESETS[args.scene]()
+    scene = flatten_model(model, lights)
+    lobes = scene_active_lobes(scene)
+    use_tex = scene_uses_textures(scene)
+    flat = scene_flat_shading(scene)
+    w, h = args.width, args.height
+    r = w * h
+    pos, iv, ip = camera.raygen_params(w, h)
+    n_tris = int(np.asarray(scene.tri_valid).sum())
+    n_chunks = int(scene.walk_tris.shape[0])
+    chunk = int(scene.walk_tris.shape[2]) if n_chunks else 0
+
+    print(json.dumps({"backend": jax.default_backend(), "scene": args.scene,
+                      "tris": n_tris, "chunks": n_chunks, "chunk": chunk,
+                      "rays": r}), flush=True)
+
+    # --- fixed inputs for isolated stages
+    @jax.jit
+    def stage_raygen():
+        o, d = generate_rays(pos, iv, ip, w, h)
+        return o.reshape(-1, 3), d.reshape(-1, 3)
+
+    o, d = stage_raygen()
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.uint32),
+                          jnp.arange(w, dtype=jnp.uint32), indexing="ij")
+    seed = rng.pixel_seed(w, xs.reshape(-1), ys.reshape(-1), jnp.uint32(0))
+
+    @jax.jit
+    def stage_intersect(o, d):
+        return intersect_closest(scene, o, d, 0.0, 100.0,
+                                 method=args.method)
+
+    hit = stage_intersect(o, d)
+
+    @jax.jit
+    def stage_surface(seed, o, d, hit):
+        return make_surface(seed, scene, o, d, hit, use_textures=use_tex,
+                            flat_shading=flat)
+
+    seed2, surf = stage_surface(seed, o, d, hit)
+    alive = hit.hit
+    beta = jnp.ones((r, 3), jnp.float32)
+
+    @jax.jit
+    def stage_nee(seed, surf, beta, alive):
+        return _nee(seed, scene, surf, beta, alive, args.method, lobes)
+
+    @jax.jit
+    def stage_sample(seed, surf):
+        return dispatch.sample(seed, surf.mat, surf.wo_local, lobes)
+
+    @jax.jit
+    def full(frame_id):
+        return render_sample(scene, pos, iv, ip, w, h, frame_id,
+                             args.max_bounces, args.method, False, lobes,
+                             use_tex, flat_shading=flat)
+
+    rows = []
+
+    def add(name, dt, note=""):
+        rows.append({"stage": name, "ms": round(dt * 1e3, 3), "note": note})
+        print(json.dumps(rows[-1]), flush=True)
+
+    add("raygen", _time(stage_raygen), "camera inverse-matrix ray setup")
+    add("intersect_closest", _time(stage_intersect, o, d),
+        f"{args.method} route, {n_tris} tris")
+    add("surface", _time(stage_surface, seed, o, d, hit),
+        "barycentric interp + textures + shading frame")
+    add("nee", _time(stage_nee, seed2, surf, beta, alive),
+        "shadow intersect_any + dispatch.f (layered f walks nSamples=5)")
+    add("bsdf_sample", _time(stage_sample, seed2, surf),
+        "dispatch.sample (layered walk maxDepth=10)")
+    dt_full = _time(full, jnp.uint32(0))
+    add("FULL_RENDER_SAMPLE", dt_full,
+        f"{args.max_bounces} bounces, all stages fused by XLA")
+
+    # --- rough per-stage arithmetic-intensity model (intersection only:
+    # the shading stages are pure VPU elementwise, trivially compute-bound)
+    analysis = {}
+    if n_chunks:
+        # walk sweep: per candidate chunk, tri data is 9*chunk*4 bytes from
+        # SMEM/HBM once per ray BLOCK (4096 rays), then chunk*~40 VPU flops
+        # per ray. bytes/ray ~= 9*chunk*4/4096 per candidate; flops/ray ~=
+        # 40*chunk per candidate -> intensity ~ 40*4096/36 ~= 4551 flop/byte
+        # >> v5e ridge (~5 flop/byte at 4 TFLOP/s / 819 GB/s): VPU-bound.
+        analysis["intersect"] = (
+            "walk sweep: ~{:.0f} flop/byte per candidate chunk (tri data "
+            "amortized over 4096-ray blocks) - far right of the ~5 "
+            "flop/byte v5e ridge point: VPU-COMPUTE-bound".format(
+                40 * 4096 / (9 * 4)))
+    analysis["layered"] = (
+        "layered walk: ~200 VPU flops/lane/step x 10 depth x zero memory "
+        "traffic (registers/VMEM only): pure VPU-bound")
+    analysis["verdict"] = (
+        "every hot stage is VPU-compute-bound; HBM traffic is negligible "
+        "(scene fits VMEM/SMEM per block; framebuffers are ~0.8 MB). "
+        "Speed of light = VPU flops / ~4 TFLOP/s-class envelope.")
+
+    if args.trace:
+        from jax.profiler import trace
+        with trace(args.trace):
+            jax_block(full(jnp.uint32(1)))
+        print(json.dumps({"trace_dir": args.trace}), flush=True)
+
+    if args.out:
+        write_markdown(args, rows, analysis, n_tris, n_chunks, chunk, r,
+                       dt_full)
+
+
+def write_markdown(args, rows, analysis, n_tris, n_chunks, chunk, r,
+                   dt_full):
+    import jax
+    mrays = r * args.max_bounces * 2 / dt_full / 1e6
+    lines = [
+        "# PROFILE — per-stage cost breakdown and roofline verdict",
+        "",
+        f"Scene `{args.scene}` ({n_tris} tris, {n_chunks} chunks x {chunk}"
+        f" tris), {args.width}x{args.height}, {args.max_bounces} bounces, "
+        f"intersect `{args.method}`, backend `{jax.default_backend()}`. "
+        "Generated by `benchmarks/profile_stages.py`.",
+        "",
+        "Isolated stages are separately-jitted graphs (their sum exceeds "
+        "the fused full render; the delta is XLA cross-stage fusion). "
+        f"Full 1-spp frame: **{dt_full * 1e3:.1f} ms = {mrays:.1f} Mrays/s**.",
+        "",
+        "| Stage | ms | notes |",
+        "|---|---|---|",
+    ]
+    for row in rows:
+        lines.append(f"| {row['stage']} | {row['ms']} | {row['note']} |")
+    lines += [
+        "",
+        "## Roofline verdict",
+        "",
+    ]
+    for k, v in analysis.items():
+        lines.append(f"- **{k}**: {v}")
+    lines += [
+        "",
+        "v5e envelope used: 819 GB/s HBM, ~4 TFLOP/s-class fp32 VPU "
+        "(8x128 vector ALUs; exact clocks unpublished), 197 bf16 MXU "
+        "TFLOP/s (unused - the tracer has no matmuls). Ridge point "
+        "~5 flop/byte.",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

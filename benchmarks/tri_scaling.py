@@ -64,10 +64,14 @@ def make_scene(target_tris: int):
 
 
 def bench_intersect(scene, camera, method: str, width=256, height=256,
-                    reps=5):
-    """Time closest-hit over one camera wavefront (65k rays)."""
+                    reps=5, ray_mode="primary"):
+    """Time closest-hit over one 65k-ray wavefront. ray_mode:
+    'primary' = coherent camera rays; 'random' = uniformly random origins
+    in the scene AABB x random directions - the worst-case incoherent
+    bounce wavefront (no coherence for block culling to exploit)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from optixpathtracer_tpu.camera.camera import generate_rays
     from optixpathtracer_tpu.intersect import intersect_closest
 
@@ -75,6 +79,15 @@ def bench_intersect(scene, camera, method: str, width=256, height=256,
     o, d = generate_rays(pos, iv, ip, width, height)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
+    if ray_mode == "random":
+        r = width * height
+        rng = np.random.default_rng(42)
+        lo = np.asarray(scene.tri_v0).min(axis=0)
+        hi = np.asarray(scene.tri_v0).max(axis=0)
+        o = jnp.asarray(rng.uniform(lo, hi, (r, 3)), jnp.float32)
+        v = rng.standard_normal((r, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        d = jnp.asarray(v, jnp.float32)
 
     @jax.jit
     def run(scene, o, d):
@@ -94,8 +107,10 @@ def bench_intersect(scene, camera, method: str, width=256, height=256,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--methods", default="pallas",
-                    help="comma list: pallas,brute,bvh")
+                    help="comma list: pallas,brute,bvh,walk")
     ap.add_argument("--sizes", default="100,10000,100000,1000000")
+    ap.add_argument("--ray-modes", default="primary",
+                    help="comma list: primary,random")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -108,12 +123,15 @@ def main():
         n_tris = int(np.asarray(scene.tri_valid).sum())
         row = {"target": target, "tris": n_tris}
         for method in args.methods.split(","):
-            try:
-                dt, mrps = bench_intersect(scene, camera, method)
-                row[method + "_ms"] = round(dt * 1e3, 3)
-                row[method + "_mrays_s"] = round(mrps, 2)
-            except Exception as e:  # noqa: BLE001 - report and continue
-                row[method + "_error"] = str(e)[:200]
+            for mode in args.ray_modes.split(","):
+                tag = method if mode == "primary" else f"{method}_{mode}"
+                try:
+                    dt, mrps = bench_intersect(scene, camera, method,
+                                               ray_mode=mode)
+                    row[tag + "_ms"] = round(dt * 1e3, 3)
+                    row[tag + "_mrays_s"] = round(mrps, 2)
+                except Exception as e:  # noqa: BLE001 - report and continue
+                    row[tag + "_error"] = str(e)[:200]
         print(json.dumps(row), flush=True)
         results.append(row)
 

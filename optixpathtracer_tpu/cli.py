@@ -27,7 +27,8 @@ def build_parser():
     p.add_argument("--height", type=int)
     p.add_argument("--spp", type=int)
     p.add_argument("--max-bounces", type=int, dest="max_bounces")
-    p.add_argument("--intersect", choices=["auto", "brute", "bvh", "pallas"])
+    p.add_argument("--intersect",
+                   choices=["auto", "brute", "bvh", "pallas", "walk"])
     p.add_argument("--sharded", action="store_true", default=None,
                    help="shard pixel rows across all local devices")
     p.add_argument("--distributed", action="store_true",

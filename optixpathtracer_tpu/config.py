@@ -26,6 +26,7 @@ class RenderConfig:
     checkpoint_every: int = 64        # samples between checkpoint writes
     sharded: bool = False             # shard rows across all local devices
     log_every: int = 10               # progress heartbeat (reference: 10)
+    frames_per_launch: int = 16       # spp batched per on-device fori_loop
 
     @classmethod
     def from_json(cls, path: str) -> "RenderConfig":

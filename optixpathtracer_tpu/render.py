@@ -102,26 +102,54 @@ def render_config(cfg: RenderConfig, scene=None, camera=None):
             print(f"sharded: falling back to single-device "
                   f"({n} devices, height {cfg.height})")
 
-    t0 = time.time()
-    for s in range(start, cfg.spp):
+    # The spp loop runs ON-DEVICE in chunks of frames_per_launch
+    # (lax.fori_loop over 1-spp frames with the running-mean update fused
+    # in), so a 1024-spp production render pays ~spp/chunk host dispatches
+    # instead of ~spp - the shipped path now matches the benched path
+    # (bench.py's fori_loop shape). Chunks stop at checkpoint boundaries so
+    # resume semantics are unchanged; per-frame arithmetic is identical
+    # (same frame seeds, same mean recurrence), so images are bit-identical
+    # to the per-sample loop.
+    import jax
+
+    def _frame(scene, s):
         if frame_fn is not None:
-            frame = frame_fn(scene, jnp.uint32(s))
-        else:
-            frame = render_sample(scene, pos, inv_view, inv_proj,
-                                  cfg.width, cfg.height, jnp.uint32(s),
-                                  cfg.max_bounces, cfg.intersect,
-                                  cfg.reference_compat, lobes, use_tex,
-                                  use_alpha_cutout=use_cutout,
-                                  flat_shading=flat)
-        accum = accum + (frame - accum) / (s + 1)
-        done = s + 1
-        if cfg.log_every and done % cfg.log_every == 0:
+            return frame_fn(scene, s)
+        return render_sample(scene, pos, inv_view, inv_proj,
+                             cfg.width, cfg.height, s,
+                             cfg.max_bounces, cfg.intersect,
+                             cfg.reference_compat, lobes, use_tex,
+                             use_alpha_cutout=use_cutout,
+                             flat_shading=flat)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("chunk",))
+    def render_chunk(scene, accum, s0, chunk: int):
+        def body(i, acc):
+            s = (s0 + i).astype(jnp.uint32)
+            frame = _frame(scene, s)
+            return acc + (frame - acc) / (s.astype(jnp.float32) + 1.0)
+        return jax.lax.fori_loop(0, chunk, body, accum)
+
+    per_launch = max(1, cfg.frames_per_launch)
+    t0 = time.time()
+    s = start
+    while s < cfg.spp:
+        chunk = min(per_launch, cfg.spp - s)
+        if cfg.checkpoint:  # stop at the next checkpoint boundary
+            to_ckpt = cfg.checkpoint_every - s % cfg.checkpoint_every
+            chunk = min(chunk, to_ckpt)
+        accum = render_chunk(scene, accum, jnp.uint32(s), chunk)
+        s += chunk
+        if cfg.log_every and (s % cfg.log_every < chunk or s == cfg.spp):
             # reference heartbeat "at Sample: N" (`OptixView.cpp:159-161`)
-            rate = done / max(time.time() - t0, 1e-9)
-            print(f"at Sample: {done}/{cfg.spp} ({rate:.2f} spp/s)",
+            accum.block_until_ready()
+            rate = (s - start) / max(time.time() - t0, 1e-9)
+            print(f"at Sample: {s}/{cfg.spp} ({rate:.2f} spp/s)",
                   flush=True)
-        if cfg.checkpoint and done % cfg.checkpoint_every == 0:
-            save_checkpoint(cfg.checkpoint, accum, done)
+        if cfg.checkpoint and s % cfg.checkpoint_every == 0 and s < cfg.spp:
+            save_checkpoint(cfg.checkpoint, accum, s)
 
     img = np.asarray(accum)
     if cfg.checkpoint:

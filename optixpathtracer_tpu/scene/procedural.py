@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..camera import Camera, blender_to_engine_position
-from .types import Material, Mesh, Model, PointLight
+from .types import Material, Mesh, Model, PointLight, Texture
 
 
 def uv_sphere(radius=1.0, center=(0, 0, 0), n_theta=32, n_phi=64,
@@ -337,6 +337,172 @@ def scene_sponza_standin(up_view=False):
     return Model(meshes=meshes), camera, lights
 
 
+def cylinder(radius=0.3, height=2.0, center=(0, 0, 0), n_phi=48, n_y=8,
+             material=None, name="cylinder", flutes=0, flute_depth=0.0):
+    """Open-ended vertical cylinder (y axis) with smooth normals; optional
+    cosine fluting (classical column profile)."""
+    phi = np.linspace(0.0, 2.0 * np.pi, n_phi + 1)
+    ys = np.linspace(0.0, height, n_y + 1)
+    pp, yy = np.meshgrid(phi, ys, indexing="ij")
+    r = radius * (1.0 + (flute_depth * np.cos(flutes * pp) if flutes else 0.0))
+    x = r * np.cos(pp)
+    z = r * np.sin(pp)
+    pos = np.stack([x, yy, z], axis=-1).reshape(-1, 3)
+    nrm = np.stack([np.cos(pp), np.zeros_like(yy), np.sin(pp)],
+                   axis=-1).reshape(-1, 3)
+    uvs = np.stack([pp / (2 * np.pi), yy / height], axis=-1).reshape(-1, 2)
+    pos = pos + np.asarray(center)
+
+    def vid(i, j):
+        return i * (n_y + 1) + j
+
+    faces = []
+    for i in range(n_phi):
+        for j in range(n_y):
+            a, b = vid(i, j), vid(i + 1, j)
+            c, d = vid(i, j + 1), vid(i + 1, j + 1)
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    return Mesh(positions=pos.astype(np.float32),
+                indices=np.asarray(faces, np.int32),
+                normals=nrm.astype(np.float32),
+                uvs=uvs.astype(np.float32),
+                material=material or Material(), name=name)
+
+
+def _checker_texture(res=256, c0=(0.85, 0.82, 0.78), c1=(0.35, 0.32, 0.3),
+                     tiles=8, name="checker"):
+    yy, xx = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    mask = ((xx * tiles // res) + (yy * tiles // res)) % 2
+    px = np.where(mask[..., None], np.asarray(c1, np.float32),
+                  np.asarray(c0, np.float32))
+    rgba = np.concatenate([px, np.ones((res, res, 1), np.float32)], axis=-1)
+    return Texture(pixels=rgba.astype(np.float32), name=name)
+
+
+def _marble_texture(res=256, seed=7, name="marble"):
+    """Band-limited value-noise marble, sRGB-encoded like file textures."""
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((res, res), np.float64)
+    for octave in range(4):
+        k = 4 << octave
+        coarse = rng.standard_normal((k, k))
+        ups = np.kron(coarse, np.ones((res // k, res // k)))
+        acc += ups / (1 << octave)
+    yy = np.linspace(0, 6 * np.pi, res)[:, None]
+    veins = 0.5 + 0.5 * np.sin(yy + 2.5 * acc)
+    rgb = (0.55 + 0.4 * veins)[..., None] * np.array([1.0, 0.97, 0.92])
+    rgba = np.concatenate([rgb, np.ones((res, res, 1))], axis=-1)
+    return Texture(pixels=np.clip(rgba, 0, 1).astype(np.float32), name=name)
+
+
+def _leaf_texture(res=128, name="leaf"):
+    """RGBA leaf-cluster texture with alpha cutout holes (exercises the
+    anyhit alpha path, `devicePrograms.cu:518-561`)."""
+    yy, xx = np.meshgrid(np.linspace(-1, 1, res), np.linspace(-1, 1, res),
+                         indexing="ij")
+    alpha = np.zeros((res, res))
+    rng = np.random.default_rng(3)
+    for _ in range(24):
+        cx, cy = rng.uniform(-0.8, 0.8, 2)
+        rx, ry = rng.uniform(0.08, 0.22, 2)
+        ang = rng.uniform(0, np.pi)
+        xr = (xx - cx) * np.cos(ang) + (yy - cy) * np.sin(ang)
+        yr = -(xx - cx) * np.sin(ang) + (yy - cy) * np.cos(ang)
+        alpha = np.maximum(alpha, ((xr / rx) ** 2 + (yr / ry) ** 2) < 1.0)
+    green = np.stack([0.1 + 0.15 * alpha, 0.35 + 0.3 * alpha,
+                      0.08 + 0.05 * alpha], axis=-1)
+    rgba = np.concatenate([green, alpha[..., None]], axis=-1)
+    return Texture(pixels=rgba.astype(np.float32), name=name)
+
+
+def scene_hall(detail: float = 1.0):
+    """The flagship heavyweight scene: a Sponza-scale textured colonnade
+    hall (reference flagship Scene2/6 loads the real Sponza glTF,
+    `main.cpp:21-30,69-78`; the asset isn't shipped, so this builds an
+    equivalent-scale stand-in procedurally). At detail=1.0 it is ~390k
+    triangles across all five material types + three textures (checker
+    floor via albedo texture, marble columns, alpha-cutout foliage) - the
+    scale class where the chunk-BVH walk kernels are the only viable
+    intersection route on TPU.
+    """
+    d = detail
+    textures = [_checker_texture(), _marble_texture(), _leaf_texture()]
+    CHECKER, MARBLE, LEAF = 0, 1, 2
+
+    floor_mat = Material(base_color=np.ones(3, np.float32), roughness=0.85,
+                         mat_type="diffuse", albedo_texture=CHECKER)
+    wall_mat = Material(base_color=np.array([0.6, 0.55, 0.48], np.float32),
+                        roughness=0.9, mat_type="diffuse")
+    col_mat = Material(base_color=np.ones(3, np.float32), roughness=0.25,
+                       mat_type="glossy_diffuse", albedo_texture=MARBLE)
+    statue_mat = Material(base_color=np.array([0.95, 0.78, 0.45], np.float32),
+                          metallic=1.0, roughness=0.2, mat_type="conductor")
+    glass_mat = Material(base_color=np.ones(3, np.float32), roughness=0.0,
+                         mat_type="dielectric")
+    mix_mat = Material(base_color=np.array([0.55, 0.2, 0.15], np.float32),
+                       metallic=0.4, roughness=0.45, mat_type="metallic_mix")
+    leaf_mat = Material(base_color=np.ones(3, np.float32), roughness=1.0,
+                        mat_type="diffuse", albedo_texture=LEAF)
+
+    meshes = []
+    # hall shell: 24m x 8m x 12m, inward-facing; separate textured floor
+    meshes.append(box((0.0, 4.0, 0.0), (12.0, 4.0, 6.0), wall_mat, "hall",
+                      inward=True))
+    fl = quad((-12.0, 0.01, -6.0), (0, 0, 12.0), (24.0, 0, 0), floor_mat,
+              "floor_checker")
+    fl.uvs = fl.uvs * 8.0  # tile the checker
+    meshes.append(fl)
+
+    # two colonnades of fluted columns with sphere capitals
+    n_phi = max(24, int(96 * d))
+    n_y = max(4, int(32 * d))
+    seg_t = max(8, int(36 * d))
+    for i in range(-3, 4):
+        for zs in (-3.0, 3.0):
+            cx = i * 3.0
+            meshes.append(cylinder(0.32, 3.2, (cx, 0.0, zs), n_phi, n_y,
+                                   col_mat, f"col_{i}_{zs}", flutes=20,
+                                   flute_depth=0.06))
+            meshes.append(uv_sphere(0.42, (cx, 3.45, zs), seg_t, 2 * seg_t,
+                                    col_mat, f"cap_{i}_{zs}"))
+            meshes.append(box((cx, 3.8, zs), (0.45, 0.12, 0.45), col_mat,
+                              f"abacus_{i}_{zs}"))
+
+    # statues (high-tessellation bumpy spheres) down the nave
+    st = max(16, int(104 * d))
+    for k, cx in enumerate((-7.5, -2.5, 2.5, 7.5)):
+        meshes.append(bumpy_sphere(0.7, (cx, 1.0, 0.0), statue_mat,
+                                   f"statue_{k}", n_theta=st, n_phi=2 * st,
+                                   bump=0.12, freq=7.0 + k))
+    # one glass sphere and one metallic-mix sphere
+    meshes.append(uv_sphere(0.6, (5.0, 0.8, -1.8), seg_t, 2 * seg_t,
+                            glass_mat, "glass_sphere"))
+    meshes.append(uv_sphere(0.6, (-5.0, 0.8, 1.8), seg_t, 2 * seg_t,
+                            mix_mat, "mix_sphere"))
+
+    # foliage: crossed alpha-cutout quads hanging between columns
+    for i in range(-2, 3):
+        for zs in (-3.0, 3.0):
+            cx = i * 3.0 + 1.5
+            meshes.append(quad((cx - 0.6, 2.2, zs), (1.2, 0, 0),
+                               (0, 1.0, 0), leaf_mat, f"leafA_{i}_{zs}"))
+            meshes.append(quad((cx, 2.2, zs - 0.6), (0, 0, 1.2),
+                               (0, 1.0, 0), leaf_mat, f"leafB_{i}_{zs}"))
+
+    model = Model(meshes=meshes, textures=textures)
+    camera = Camera.from_blender((10.5, -0.4, 2.2), (88.0, 0.0, 96.0))
+    lights = [
+        PointLight(np.array([0.0, 7.0, 0.0], np.float32),
+                   np.full(3, 60.0, np.float32)),
+        PointLight(np.array([9.0, 5.0, 3.0], np.float32),
+                   np.full(3, 30.0, np.float32)),
+        PointLight(np.array([-9.0, 5.0, -3.0], np.float32),
+                   np.full(3, 30.0, np.float32)),
+    ]
+    return model, camera, lights
+
+
 PRESETS = {
     # reference main.cpp Scene1..Scene6
     "scene1_spheres": lambda: scene_material_test("conductor"),
@@ -351,4 +517,7 @@ PRESETS = {
     "dielectric": lambda: scene_material_test("dielectric"),
     "dielectric20": lambda: scene_material_test("dielectric20"),
     "layered": lambda: scene_material_test("layered"),
+    # flagship heavyweight scene (Sponza-scale stand-in, ~390k tris)
+    "hall": scene_hall,
+    "hall_small": lambda: scene_hall(0.25),
 }

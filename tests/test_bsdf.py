@@ -347,6 +347,64 @@ class TestChiSquared:
         assert chi2_dn < 3.0 * dof_dn, (chi2_dn, dof_dn)
 
 
+    def test_layered_approx_pdf_is_usable_proxy(self):
+        """dispatch.pdf(layered='approx') vs the layered lobe's actual
+        sampling histogram. The proxy is NOT the true pdf (the layered walk
+        has none in closed form), so no strict chi-squared bound - the
+        requirements for an MIS partition-of-unity weight are only that it
+        (a) is normalized like a pdf and (b) tracks the real distribution
+        within a small constant factor where the mass is (variance control,
+        not unbiasedness - see dispatch.pdf docstring MIS DECISION)."""
+        n = 1 << 17
+        wo = jnp.broadcast_to(cm.normalize(jnp.array([0.4, 0.1, 0.9])),
+                              (n, 3))
+        seeds = rng.tea(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(404))
+        _, s = glossy_diffuse.sample(seeds, jnp.ones((n, 3)),
+                                     jnp.full((n,), 0.5), wo)
+        keep = np.asarray(s.valid & (s.direction[:, 2] > 0.0)
+                          & ~s.specular)  # diffuse+glossy reflection mass
+        d = np.asarray(s.direction)[keep]
+        accepted = keep.mean()
+        assert accepted > 0.8  # most samples leave through the top
+
+        mat = dispatch.MaterialParams(
+            albedo=jnp.ones((1, 3)), metallic=jnp.zeros((1,)),
+            roughness=jnp.full((1,), 0.5), ior=jnp.full((1,), 1.5),
+            mat_type=jnp.array([dispatch.GLOSSY_DIFFUSE], jnp.int32))
+
+        def pdf_fn(w):
+            m = w.shape[0]
+            mat_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (m,) + x.shape[1:]), mat)
+            return dispatch.pdf(mat_b, jnp.broadcast_to(wo[0], (m, 3)), w,
+                                layered="approx")
+
+        # (a) normalization: integrate the proxy over the upper hemisphere
+        # with the same midpoint grid _chi2_hemisphere uses
+        n_cos, n_phi, quad = 8, 8, 4
+        qc = (np.arange(quad) + 0.5) / quad
+        cc = np.repeat(((np.arange(n_cos)[:, None] + qc) / n_cos).ravel(),
+                       n_phi * quad)
+        pp = np.tile(((np.arange(n_phi)[:, None] + qc) / n_phi).ravel()
+                     * 2 * np.pi, n_cos * quad)
+        sin_t = np.sqrt(np.maximum(1.0 - cc * cc, 0.0))
+        w = np.stack([sin_t * np.cos(pp), sin_t * np.sin(pp), cc], axis=-1)
+        p = np.asarray(pdf_fn(jnp.asarray(w, jnp.float32)))
+        integral = p.mean() * 2 * np.pi  # uniform grid in (cos, phi)
+        assert 0.5 < integral < 1.2, integral
+
+        # (b) factor-of-3 agreement on every bin holding >=1% of the mass
+        hist, _, _ = np.histogram2d(
+            d[:, 2], np.arctan2(d[:, 1], d[:, 0]) % (2 * np.pi),
+            bins=(n_cos, n_phi), range=((0, 1), (0, 2 * np.pi)))
+        p_bins = p.reshape(n_cos, quad, n_phi, quad).mean(axis=(1, 3))
+        expected = p_bins * (1.0 / n_cos) * (2 * np.pi / n_phi) * n
+        mass = expected > 0.01 * expected.sum()
+        ratio = hist[mass] / np.maximum(expected[mass], 1e-9)
+        assert (ratio > 1 / 3).all() and (ratio < 3).all(), (
+            ratio.min(), ratio.max())
+
+
 class TestDispatch:
     def test_types_route_correctly(self):
         n = 5

@@ -60,6 +60,19 @@ def test_resume_bit_identical(tmp_path, cornell):
                                   np.asarray(img_resumed))
 
 
+def test_batched_spp_loop_bit_identical(tmp_path, cornell):
+    """The on-device fori_loop spp batching (frames_per_launch > 1) must be
+    bit-identical to one-launch-per-sample: same frame seeds, same
+    running-mean recurrence, only the dispatch granularity changes."""
+    scene, camera = cornell
+    img_per_sample = render_config(_cfg(tmp_path, frames_per_launch=1),
+                                   scene, camera)
+    img_batched = render_config(_cfg(tmp_path, frames_per_launch=8),
+                                scene, camera)
+    np.testing.assert_array_equal(np.asarray(img_per_sample),
+                                  np.asarray(img_batched))
+
+
 def test_sharded_config_flag_renders_sharded(tmp_path, cornell):
     """config5_full.json's `sharded: true` path: render_config must route
     through the mesh (round 1 shipped this flag dead)."""
