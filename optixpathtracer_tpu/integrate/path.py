@@ -316,14 +316,46 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
     return radiance.reshape(height, width, 3)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "chunk", "max_bounces",
+                                   "intersect_method", "reference_compat",
+                                   "active_lobes", "use_textures",
+                                   "use_alpha_cutout", "sort_rays",
+                                   "flat_shading"))
+def render_chunk(scene, cam_position, cam_inv_view, cam_inv_proj,
+                 width: int, height: int, accum, start_frame, chunk: int,
+                 max_bounces: int = 2, intersect_method: str = "auto",
+                 reference_compat: bool = False,
+                 active_lobes=dispatch.ALL_LOBES, use_textures: bool = True,
+                 use_alpha_cutout: bool = False,
+                 sort_rays: bool | None = None, flat_shading: bool = False):
+    """Accumulate `chunk` consecutive 1-spp frames into the running mean
+    with a single on-device lax.fori_loop - one host dispatch per chunk
+    instead of per sample. Bit-identical to chaining render_sample calls
+    (same frame seeds, same mean recurrence)."""
+    def body(i, acc):
+        s = (start_frame + i).astype(jnp.uint32)
+        frame = render_sample(scene, cam_position, cam_inv_view,
+                              cam_inv_proj, width, height, s, max_bounces,
+                              intersect_method, reference_compat,
+                              active_lobes, use_textures, use_alpha_cutout,
+                              sort_rays=sort_rays, flat_shading=flat_shading)
+        return acc + (frame - acc) / (s.astype(jnp.float32) + 1.0)
+    return jax.lax.fori_loop(0, chunk, body, accum)
+
+
 def render(scene, camera, width: int, height: int, spp: int,
            max_bounces: int = 2, intersect_method: str = "auto",
            reference_compat: bool = False, start_frame: int = 0,
            accum=None, callback=None, active_lobes=None,
-           use_textures=None, use_alpha_cutout=None, flat_shading=None):
+           use_textures=None, use_alpha_cutout=None, flat_shading=None,
+           frames_per_launch: int = 32):
     """Progressive render: accumulate `spp` 1-spp frames into a running mean
     (the on-device analog of the reference's GL accumulation shader,
     `AddPathtracedFrame.frag:13-25` endless-mode weight 1/samples).
+
+    The spp loop runs on-device in `frames_per_launch` chunks; with a
+    `callback` (preview/heartbeat consumers) it falls back to per-sample
+    dispatch so every accumulated frame is observable.
 
     Supports resume: pass `accum` (the running mean) and `start_frame` from a
     checkpoint. Returns the accumulated [H, W, 3] image (device array).
@@ -343,6 +375,20 @@ def render(scene, camera, width: int, height: int, spp: int,
     pos, inv_view, inv_proj = camera.raygen_params(width, height)
     if accum is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
+
+    if callback is None and frames_per_launch > 1:
+        s = start_frame
+        end = start_frame + spp
+        while s < end:
+            chunk = min(frames_per_launch, end - s)
+            accum = render_chunk(scene, pos, inv_view, inv_proj, width,
+                                 height, accum, jnp.uint32(s), chunk,
+                                 max_bounces, intersect_method,
+                                 reference_compat, active_lobes,
+                                 use_textures, use_alpha_cutout,
+                                 flat_shading=flat_shading)
+            s += chunk
+        return accum
 
     for s in range(start_frame, start_frame + spp):
         frame = render_sample(scene, pos, inv_view, inv_proj, width, height,
