@@ -112,7 +112,13 @@ def main():
                     "dielectric20,layered,scene3_cornell,hall_small")
     ap.add_argument("--method", default="auto")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-virtual-device CPU backend (the "
+                         "sitecustomize pins the TPU tunnel otherwise)")
     args = ap.parse_args()
+    if args.cpu:
+        from benchmarks.forcecpu import force_cpu
+        force_cpu(8)
 
     from optixpathtracer_tpu.scene import flatten_model
     from optixpathtracer_tpu.scene.procedural import PRESETS

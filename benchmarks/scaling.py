@@ -28,7 +28,13 @@ def main():
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--max-bounces", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-virtual-device CPU backend (the "
+                         "sitecustomize pins the TPU tunnel otherwise)")
     args = ap.parse_args()
+    if args.cpu:
+        from benchmarks.forcecpu import force_cpu
+        force_cpu(8)
 
     import jax
     import jax.numpy as jnp

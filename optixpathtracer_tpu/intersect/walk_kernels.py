@@ -5,9 +5,7 @@ The TPU-native replacement for the reference's hardware RT-core traversal
 for large scenes, where the dense cluster-culled sweep
 (intersect/pallas_kernels.py) degrades to O(#chunks) per ray block.
 
-Two-kernel "block traversal, lane intersection" design, built ONLY from the
-standard Mosaic pipeline (BlockSpec index maps + scalar prefetch - manual
-in-kernel `make_async_copy` DMAs fault on the target runtime, measured):
+Two-kernel "block traversal, lane intersection" design:
 
   1. **Traversal kernel** (grid over ray blocks): walks the SMEM-resident
      chunk-level skip-link BVH (scene/bvh.py `build_chunk_bvh`, leaf = one
@@ -15,18 +13,24 @@ in-kernel `make_async_copy` DMAs fault on the target runtime, measured):
      AABB is slab-tested against the whole [RAY_SUB, 128] ray block bounded
      by tmax and reduced to one scalar "any ray can hit"; inner-node hit
      descends (i+1), miss/leaf follows the skip link. Surviving leaves'
-     chunk ids are appended to a per-block candidate list (SMEM output),
-     in DFS = quasi front-to-back order.
-  2. **Sweep kernel** (grid = ray blocks x max candidates): the dense
-     cluster-culled sweep, but the triangle-chunk axis is REMAPPED through
-     the candidate list with `PrefetchScalarGridSpec`: the tri-chunk
-     BlockSpec index_map reads `cand[i, j]`, so the pipeline only ever DMAs
-     candidate chunks. Entries past the candidate count repeat the last
-     real chunk id - the pipeline skips re-fetching an unchanged block, so
-     tail steps cost only a predicated-off grid step. Each live candidate
-     is additionally slab-tested against the per-ray running best-t
-     (front-to-back culling), then swept with the scalar-broadcast
-     Moller-Trumbore from pallas_kernels.
+     chunk ids are appended to a per-block candidate list (SMEM output)
+     together with the block-conservative AABB entry distance t_near.
+  2. Between the kernels (plain jnp, on device): each block's candidate
+     list is **sorted front-to-back** by t_near.
+  3. **Sweep kernel** (grid over ray blocks): a scalar `while_loop` over
+     the candidate list, fetching each candidate chunk's triangles from
+     HBM with a double-buffered `make_async_copy` DMA into SMEM scratch
+     and sweeping them with the scalar-broadcast Moller-Trumbore from
+     pallas_kernels against per-ray running best-t. Because candidates
+     arrive near-first, the loop **exits** as soon as the next candidate's
+     t_near exceeds every ray's current best-t (the wavefront analog of
+     ordered BVH descent + early termination that RT cores do in
+     hardware); chunks that survive the exit test are still skipped
+     per-chunk when no ray in the block can improve on them.
+
+The sweep does O(candidates actually needed) work per block - there is no
+dense grid over chunk slots, so scene size only enters through the BVH walk
+and the chunk fetches a block really needs.
 
 Block aggregation means incoherent ray blocks keep the union of their
 candidates; pair with the octant/Morton binning in integrate/path.py for
@@ -37,25 +41,36 @@ recomputed differentiably by api._refine.
 """
 from __future__ import annotations
 
-
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .types import Hit
-from .pallas_kernels import (LANES, RAY_SUB, BIG, _mt_scalar_tri, _pad_plane,
-                             _pad_row, _safe_inv)
+from .pallas_kernels import LANES, BIG, _pad_plane, _safe_inv
+
+import os as _os
+
+RAY_SUB = int(_os.environ.get("OPT_WALK_RAY_SUB", "8"))
+# sublanes per walk ray block (8 -> 1024 rays). Smaller than the dense
+# kernel's 32: a block's traversal work is the UNION of its rays' needs,
+# so narrower cones cut candidates/ray; [8, 128] is the native VPU tile.
+HYBRID_NODE_TEST = _os.environ.get("OPT_WALK_HYBRID", "0") == "1"
+# scalar interval pre-filter before the exact VPU node test; measured
+# slower than the exact test alone on v5e (scf.if scalar<->vector sync
+# stalls), kept behind the env flag for future hardware
 
 _N_RAY = 11  # ox oy oz dx dy dz inv_dx inv_dy inv_dz tmin tmax
 _N_BOX = 6
-_N_TRI = 9
+EPS_DET = 1e-12
+_DMA_DEPTH = 4  # chunk-fetch ring slots in the sweep kernels
+_DMA_AHEAD = 3  # candidates prefetched ahead of the sweep pointer
 
 
 def _node_test(rays, node_box, i, limit):
     """Slab-test the ray block against node i's AABB (SMEM scalar reads),
-    bounded per-ray by `limit`. Returns scalar 'any ray can hit'."""
+    bounded per-ray by `limit`. Returns (scalar 'any ray can hit', scalar
+    conservative entry distance = min over hitting rays of t_near)."""
     ox, oy, oz = rays[0][:], rays[1][:], rays[2][:]
     idx, idy, idz = rays[6][:], rays[7][:], rays[8][:]
     tmin = rays[9][:]
@@ -75,26 +90,74 @@ def _node_test(rays, node_box, i, limit):
                                     jnp.maximum(ty0, ty1)),
                         jnp.maximum(tz0, tz1))
     can_hit = (t_near <= t_far) & (t_far >= tmin) & (t_near <= limit)
-    return jnp.max(can_hit.astype(jnp.int32)) > 0
+    entry = jnp.min(jnp.where(can_hit, jnp.maximum(t_near, 0.0), BIG))
+    return jnp.max(can_hit.astype(jnp.int32)) > 0, entry
 
 
 # ---------------------------------------------------------------------------
-# Kernel 1: chunk-BVH traversal -> per-block candidate chunk list
+# Kernel 1: chunk-BVH traversal -> per-block candidate chunk list + t_near
 # ---------------------------------------------------------------------------
 
 def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
-    # NOTE: cand/count SMEM outputs are mapped as ONE whole-array block
-    # (constant index map) revisited by every grid step, with rows indexed
-    # by program_id inside the kernel - Mosaic rejects (1, N) blocks over a
-    # (g, N) SMEM array (sublane dim must be 8-divisible or whole).
+    # NOTE: cand/tnear/count SMEM outputs are mapped as ONE whole-array
+    # block (constant index map) revisited by every grid step, with rows
+    # indexed by program_id inside the kernel - Mosaic rejects (1, N)
+    # blocks over a (g, N) SMEM array (sublane dim must be 8-divisible or
+    # whole).
+    #
+    # The per-node test is a conservative INTERVAL (frustum) slab test
+    # against the block's ray bounds - 14 scalars reduced once per block -
+    # so the serial BVH walk runs entirely on the scalar core (~60 scalar
+    # ops/node) instead of issuing a [RAY_SUB, 128] VPU slab test per node
+    # (Reshetov-style packet culling; the coherence sort makes the bounds
+    # tight). Exact per-ray culling happens later in the sweep's cluster
+    # test.
     def kernel(*refs):
         rays = refs[:_N_RAY]
         node_box = refs[_N_RAY]
         node_link = refs[_N_RAY + 1]
-        cand_ref, count_ref = refs[_N_RAY + 2:]
+        cand_ref, tnear_ref, count_ref = refs[_N_RAY + 2:]
         blk = pl.program_id(0)
 
         tmax = rays[10][:]
+        valid = tmax >= 0.0  # padding rays carry tmax = -1
+
+        def vmin(p, fill):
+            return jnp.min(jnp.where(valid, p[:], fill))
+
+        def vmax(p, fill):
+            return jnp.max(jnp.where(valid, p[:], fill))
+
+        o_lo = [vmin(rays[k], BIG) for k in range(3)]
+        o_hi = [vmax(rays[k], -BIG) for k in range(3)]
+        id_lo = [vmin(rays[6 + k], BIG) for k in range(3)]
+        id_hi = [vmax(rays[6 + k], -BIG) for k in range(3)]
+        tmin_lo = vmin(rays[9], BIG)
+        tmax_hi = vmax(rays[10], -BIG)
+
+        def axis_interval(bn, bx, k):
+            """Conservative [entry_lo, exit_hi] of the slab on axis k over
+            every ray in the block (8 corner products)."""
+            products = []
+            for b in (bn, bx):
+                for o in (o_lo[k], o_hi[k]):
+                    for i_ in (id_lo[k], id_hi[k]):
+                        products.append((b - o) * i_)
+            lo = products[0]
+            hi = products[0]
+            for t in products[1:]:
+                lo = jnp.minimum(lo, t)
+                hi = jnp.maximum(hi, t)
+            return lo, hi
+
+        def interval_test(i):
+            lo0, hi0 = axis_interval(node_box[0, i], node_box[3, i], 0)
+            lo1, hi1 = axis_interval(node_box[1, i], node_box[4, i], 1)
+            lo2, hi2 = axis_interval(node_box[2, i], node_box[5, i], 2)
+            t_near = jnp.maximum(jnp.maximum(lo0, lo1), lo2)
+            t_far = jnp.minimum(jnp.minimum(hi0, hi1), hi2)
+            return ((t_near <= t_far) & (t_far >= tmin_lo)
+                    & (t_near <= tmax_hi))
 
         def cond(state):
             i, _ = state
@@ -104,12 +167,29 @@ def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
             i, n_found = state
             is_leaf = node_link[2, i] == 1
             skip = node_link[0, i]
-            any_hit = _node_test(rays, node_box, i, tmax)
+            # Hybrid test: the scalar interval reject is ~10x cheaper than
+            # the [RAY_SUB, 128] VPU slab test but (measured) ~4x looser;
+            # running the exact test only on interval-passing nodes gets
+            # scalar-speed traversal with exact-tight candidate lists.
+            if HYBRID_NODE_TEST:
+                pre = interval_test(i)
+
+                def _exact():
+                    h, e = _node_test(rays, node_box, i, tmax)
+                    return h.astype(jnp.int32), e
+
+                # (int32 payload: Mosaic's scf.if rejects i1 yields)
+                any_i, entry = jax.lax.cond(pre, _exact,
+                                            lambda: (jnp.int32(0), BIG))
+                any_hit = any_i > 0
+            else:
+                any_hit, entry = _node_test(rays, node_box, i, tmax)
             found = any_hit & is_leaf
 
             @pl.when(found)
             def _append():
                 cand_ref[blk, n_found] = node_link[1, i]
+                tnear_ref[blk, n_found] = entry
 
             nxt = jnp.where(any_hit & (~is_leaf), i + 1, skip)
             return nxt, n_found + found.astype(jnp.int32)
@@ -118,15 +198,14 @@ def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
                                                      jnp.int32(0)))
         count_ref[blk, 0] = n_found
 
-        # Pad the tail with the last real candidate (chunk 0 if none): the
-        # sweep pipeline sees an unchanged index and skips the re-fetch.
-        last = jnp.where(n_found > 0, cand_ref[blk, jnp.maximum(n_found - 1,
-                                                                0)], 0)
-
+        # Pad the tail: chunk 0 with t_near = +BIG, so the host-side sort
+        # keeps real candidates in front and the sweep's count bound never
+        # reads the tail anyway.
         def pad_body(k, _):
             @pl.when(k >= n_found)
             def _w():
-                cand_ref[blk, k] = last
+                cand_ref[blk, k] = 0
+                tnear_ref[blk, k] = BIG
             return 0
 
         jax.lax.fori_loop(0, maxc_pad, pad_body, 0)
@@ -135,7 +214,7 @@ def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
 
 
 # ---------------------------------------------------------------------------
-# Kernel 2: candidate-remapped cluster-culled sweep (scalar prefetch)
+# Kernel 2: sorted-candidate DMA sweep (per ray block, dynamic trip count)
 # ---------------------------------------------------------------------------
 
 def _cluster_test_chunk(rays, box, c, best_t):
@@ -163,68 +242,219 @@ def _cluster_test_chunk(rays, box, c, best_t):
     return jnp.max(can_hit.astype(jnp.int32)) > 0
 
 
+def _mt_smem_tri(rays, tri_ref, k, bt):
+    """Moller-Trumbore of triangle k (SMEM scratch [16, CHUNK] scalars,
+    rows 0-8 = v0/e1/e2 xyz) against the ray block. Returns (t, hit) -
+    mirrors pallas_kernels._mt_scalar_tri with the chunked tri layout."""
+    ox, oy, oz = rays[0][:], rays[1][:], rays[2][:]
+    dx, dy, dz = rays[3][:], rays[4][:], rays[5][:]
+    tmin = rays[9][:]
+
+    v0x = tri_ref[0, k]
+    v0y = tri_ref[1, k]
+    v0z = tri_ref[2, k]
+    e1x = tri_ref[3, k]
+    e1y = tri_ref[4, k]
+    e1z = tri_ref[5, k]
+    e2x = tri_ref[6, k]
+    e2y = tri_ref[7, k]
+    e2z = tri_ref[8, k]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) > EPS_DET
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > tmin) & (t < bt))
+    return t, hit
+
+
 def _make_sweep_kernel(chunk: int):
-    def kernel(cand_ref, count_ref, *refs):
-        rays = refs[:_N_RAY]
-        box = refs[_N_RAY:_N_RAY + _N_BOX]
-        tris = refs[_N_RAY + _N_BOX:_N_RAY + _N_BOX + _N_TRI]
-        best_t, best_id = refs[_N_RAY + _N_BOX + _N_TRI:]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    # cand/tnear/count ride as whole (g, N) SMEM blocks (constant index
+    # map) with rows picked by program_id - Mosaic rejects (1, N) blocks
+    # over (g, N) SMEM arrays.
+    def kernel(*refs):
+        cand_ref, tnear_ref, count_ref = refs[:3]
+        rays = refs[3:3 + _N_RAY]
+        box = refs[3 + _N_RAY:3 + _N_RAY + _N_BOX]
+        hbm_tris = refs[3 + _N_RAY + _N_BOX]
+        best_t, best_id = refs[3 + _N_RAY + _N_BOX + 1:]
+        blk = pl.program_id(0)
 
-        @pl.when(j == 0)
-        def _init():
-            best_t[:] = jnp.full_like(best_t[:], BIG)
-            best_id[:] = jnp.full_like(best_id[:], -1)
-
-        c = cand_ref[i, j]
-        live = j < count_ref[i, 0]
+        n = count_ref[blk, 0]
         tmax = rays[10][:]
 
-        @pl.when(live & _cluster_test_chunk(rays, box, c,
-                                            jnp.minimum(best_t[:], tmax)))
-        def _sweep():
-            def body(k, carry):
-                bt, bi = carry
-                t, hit = _mt_scalar_tri(rays, tris, k, jnp.minimum(bt, tmax))
-                better = hit & (t < bt)
-                bt = jnp.where(better, t, bt)
-                bi = jnp.where(better, c * chunk + k, bi)
-                return bt, bi
+        # The running (bt, bi) live in VMEM *scratch*; the output refs are
+        # written once at the end (outputs stay write-only, scratch is
+        # plainly read-write across the dynamic loop).
+        def scoped(bt_s, bi_s, scratch, sems):
+            bt_s[:] = jnp.full_like(bt_s[:], BIG)
+            bi_s[:] = jnp.full_like(bi_s[:], -1)
 
-            bt, bi = jax.lax.fori_loop(0, chunk, body,
-                                       (best_t[:], best_id[:]))
-            best_t[:] = bt
-            best_id[:] = bi
+            def get_dma(slot, j):
+                return pltpu.make_async_copy(
+                    hbm_tris.at[cand_ref[blk, j]], scratch.at[slot],
+                    sems.at[slot])
+
+            # 4-deep DMA ring, 3 candidates ahead: hides the per-copy
+            # latency that dominated dead candidates at depth 2 (the
+            # bandwidth is trivial - the latency is the cost).
+            for k in range(_DMA_AHEAD):
+                @pl.when(k < n)
+                def _prologue(k=k):
+                    get_dma(k, k).start()
+
+            def cond(state):
+                j, cont = state
+                return cont
+
+            def body(state):
+                j, _ = state
+                slot = jax.lax.rem(j, _DMA_DEPTH)
+                get_dma(slot, j).wait()
+                c = cand_ref[blk, j]
+                has_next = j + 1 < n
+
+                @pl.when(j + _DMA_AHEAD < n)
+                def _prefetch():
+                    get_dma(jax.lax.rem(j + _DMA_AHEAD, _DMA_DEPTH),
+                            j + _DMA_AHEAD).start()
+
+                @pl.when(_cluster_test_chunk(rays, box, c, bt_s[:]))
+                def _sweep():
+                    def tri_body(k, carry):
+                        bt, bi = carry
+                        t, hit = _mt_smem_tri(rays, scratch.at[slot], k,
+                                              jnp.minimum(bt, tmax))
+                        # tie-break toward the lowest triangle id so walk
+                        # results are bit-identical to the brute oracle on
+                        # coincident geometry regardless of sweep order
+                        cid = c * chunk + k
+                        better = hit & ((t < bt)
+                                        | ((t == bt) & (cid < bi)))
+                        bt = jnp.where(better, t, bt)
+                        bi = jnp.where(better, cid, bi)
+                        return bt, bi
+
+                    bt, bi = jax.lax.fori_loop(0, chunk, tri_body,
+                                               (bt_s[:], bi_s[:]))
+                    bt_s[:] = bt
+                    bi_s[:] = bi
+
+                # Early exit: candidates are sorted by block t_near; once
+                # the next one starts beyond every ray's best hit, no
+                # remaining chunk can contribute.
+                blk_limit = jnp.max(jnp.minimum(bt_s[:], tmax))
+                nxt = jnp.minimum(j + 1, n - 1)  # clamp: OOB-safe read
+                cont = has_next & (tnear_ref[blk, nxt] <= blk_limit)
+                return j + 1, cont
+
+            j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), n > 0))
+
+            # Drain un-consumed prefetches if the early exit fired.
+            for k in range(_DMA_AHEAD):
+                @pl.when(j_end + k < jnp.minimum(n, j_end + _DMA_AHEAD))
+                def _drain(k=k):
+                    get_dma(jax.lax.rem(j_end + k, _DMA_DEPTH),
+                            j_end + k).wait()
+
+            best_t[:] = bt_s[:]
+            best_id[:] = bi_s[:]
+
+        pl.run_scoped(scoped,
+                      pltpu.VMEM((RAY_SUB, LANES), jnp.float32),
+                      pltpu.VMEM((RAY_SUB, LANES), jnp.int32),
+                      pltpu.SMEM((_DMA_DEPTH, 16, chunk), jnp.float32),
+                      pltpu.SemaphoreType.DMA((_DMA_DEPTH,)))
 
     return kernel
 
 
 def _make_any_sweep_kernel(chunk: int):
-    def kernel(cand_ref, count_ref, *refs):
-        rays = refs[:_N_RAY]
-        box = refs[_N_RAY:_N_RAY + _N_BOX]
-        tris = refs[_N_RAY + _N_BOX:_N_RAY + _N_BOX + _N_TRI]
-        (blocked,) = refs[_N_RAY + _N_BOX + _N_TRI:]
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+    def kernel(*refs):
+        cand_ref, tnear_ref, count_ref = refs[:3]
+        rays = refs[3:3 + _N_RAY]
+        box = refs[3 + _N_RAY:3 + _N_RAY + _N_BOX]
+        hbm_tris = refs[3 + _N_RAY + _N_BOX]
+        (blocked,) = refs[3 + _N_RAY + _N_BOX + 1:]
+        blk = pl.program_id(0)
 
-        @pl.when(j == 0)
-        def _init():
-            blocked[:] = jnp.zeros_like(blocked[:])
-
-        c = cand_ref[i, j]
-        live = j < count_ref[i, 0]
+        n = count_ref[blk, 0]
         tmax = rays[10][:]
-        open_t = jnp.where(blocked[:] > 0, -BIG, tmax)
 
-        @pl.when(live & _cluster_test_chunk(rays, box, c, open_t))
-        def _sweep():
-            def body(k, blk):
-                t, hit = _mt_scalar_tri(rays, tris, k, tmax)
-                return jnp.maximum(blk, hit.astype(jnp.int32))
+        def scoped(blk_s, scratch, sems):
+            blk_s[:] = jnp.zeros_like(blk_s[:])
 
-            blocked[:] = jax.lax.fori_loop(0, chunk, body, blocked[:])
+            def get_dma(slot, j):
+                return pltpu.make_async_copy(
+                    hbm_tris.at[cand_ref[blk, j]], scratch.at[slot],
+                    sems.at[slot])
+
+            for k in range(_DMA_AHEAD):
+                @pl.when(k < n)
+                def _prologue(k=k):
+                    get_dma(k, k).start()
+
+            def cond(state):
+                j, cont = state
+                return cont
+
+            def body(state):
+                j, _ = state
+                slot = jax.lax.rem(j, _DMA_DEPTH)
+                get_dma(slot, j).wait()
+                c = cand_ref[blk, j]
+                has_next = j + 1 < n
+
+                @pl.when(j + _DMA_AHEAD < n)
+                def _prefetch():
+                    get_dma(jax.lax.rem(j + _DMA_AHEAD, _DMA_DEPTH),
+                            j + _DMA_AHEAD).start()
+
+                # skip the chunk when every ray is already blocked or
+                # misses its AABB
+                open_t = jnp.where(blk_s[:] > 0, -BIG, tmax)
+
+                @pl.when(_cluster_test_chunk(rays, box, c, open_t))
+                def _sweep():
+                    def tri_body(k, acc):
+                        t, hit = _mt_smem_tri(rays, scratch.at[slot], k,
+                                              tmax)
+                        return jnp.maximum(acc, hit.astype(jnp.int32))
+
+                    blk_s[:] = jax.lax.fori_loop(0, chunk, tri_body,
+                                                 blk_s[:])
+
+                # exit once every ray is blocked (occlusion needs any hit)
+                all_blocked = jnp.min(blk_s[:]) > 0
+                cont = has_next & (~all_blocked)
+                return j + 1, cont
+
+            j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), n > 0))
+
+            for k in range(_DMA_AHEAD):
+                @pl.when(j_end + k < jnp.minimum(n, j_end + _DMA_AHEAD))
+                def _drain(k=k):
+                    get_dma(jax.lax.rem(j_end + k, _DMA_DEPTH),
+                            j_end + k).wait()
+
+            blocked[:] = blk_s[:]
+
+        pl.run_scoped(scoped,
+                      pltpu.VMEM((RAY_SUB, LANES), jnp.int32),
+                      pltpu.SMEM((_DMA_DEPTH, 16, chunk), jnp.float32),
+                      pltpu.SemaphoreType.DMA((_DMA_DEPTH,)))
 
     return kernel
 
@@ -233,18 +463,67 @@ def _make_any_sweep_kernel(chunk: int):
 # Host wrappers
 # ---------------------------------------------------------------------------
 
-GROUP_BLOCKS = 16  # ray blocks per pallas call: bounds the scalar-prefetch
-                   # candidate table (GROUP_BLOCKS * n_chunks int32) in SMEM;
-                   # bigger wavefronts lax.map over groups of this size.
+_MORT_O = 5  # origin Morton bits/axis in the coherence key
+_MORT_D = 4  # direction Morton bits/axis
 
 
-def _prep_rays(o, d, tmin, tmax):
-    """Pad rays to a whole number of GROUP_BLOCKS-sized groups and lay them
+def _spread3(x, bits):
+    out = jnp.zeros_like(x)
+    for b in range(bits):
+        out = out | (((x >> b) & 1) << (3 * b))
+    return out
+
+
+def _coherence_perm(scene, o, d):
+    """Permutation packing spatially-coherent rays into the same
+    [RAY_SUB, 128] block, so each block's BVH traversal sees a tight
+    frustum. Key = direction octant | origin Morton | direction Morton:
+    bounce wavefronts group by surface locality first; primary rays (one
+    shared origin) fall through to the direction bits, which tile the
+    image into compact view cones - the wavefront analog of the ray
+    binning stage in GPU megakernel tracers. Without this, a 4096-ray
+    block of consecutive scanline pixels spans a frustum as wide as the
+    whole viewport and its candidate list approaches the entire scene
+    (measured: 137 ms -> see WALK_BENCH.json for the sorted numbers)."""
+    nb = scene.walk_node_box
+    root_min = jnp.stack([nb[0, 0], nb[1, 0], nb[2, 0]])
+    root_max = jnp.stack([nb[3, 0], nb[4, 0], nb[5, 0]])
+    ext = jnp.maximum(root_max - root_min, 1e-6)
+    so = float(1 << _MORT_O)
+    qo = jnp.clip((o - root_min) / ext * so, 0.0, so - 1.0).astype(jnp.uint32)
+    om = (_spread3(qo[:, 0], _MORT_O) | (_spread3(qo[:, 1], _MORT_O) << 1)
+          | (_spread3(qo[:, 2], _MORT_O) << 2))
+    sd = float(1 << _MORT_D)
+    qd = jnp.clip((d * 0.5 + 0.5) * sd, 0.0, sd - 1.0).astype(jnp.uint32)
+    dm = (_spread3(qd[:, 0], _MORT_D) | (_spread3(qd[:, 1], _MORT_D) << 1)
+          | (_spread3(qd[:, 2], _MORT_D) << 2))
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    key = (octant << 27) | (om << 12) | dm
+    return jnp.argsort(key)
+
+
+GROUP_BLOCKS = 32  # max ray blocks per pallas call; the candidate table
+                   # (g * maxc_pad * 8 bytes) the traversal kernel keeps
+                   # whole in SMEM caps it further (_group_size); bigger
+                   # wavefronts lax.map over groups.
+_SMEM_CAND_BUDGET = 192 * 1024  # bytes of SMEM granted to cand+tnear
+
+
+def _group_size(n_blocks, n_chunks):
+    maxc_pad = pl.cdiv(max(n_chunks, 1), LANES) * LANES
+    g_cap = max(1, _SMEM_CAND_BUDGET // (maxc_pad * 8))
+    return min(GROUP_BLOCKS, g_cap, n_blocks)
+
+
+def _prep_rays(o, d, tmin, tmax, n_chunks):
+    """Pad rays to a whole number of group-sized chunks and lay them
     out as [n_groups, rows, LANES] planes."""
     r = o.shape[0]
     block = RAY_SUB * LANES
     n_blocks = pl.cdiv(r, block)
-    g = min(GROUP_BLOCKS, n_blocks)
+    g = _group_size(n_blocks, n_chunks)
     n_groups = pl.cdiv(n_blocks, g)
     r_pad = n_groups * g * block
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -279,14 +558,10 @@ def _pad_nodes(scene):
     return box, link, n
 
 
-def _walk_geometry(scene):
-    """Tri component rows + chunk AABB rows in WALK order, derived from the
-    packed walk arrays (walk_tris [C, 9, CHUNK]; leaf AABBs pulled from the
-    chunk-BVH nodes, so nothing re-reduces over triangles per call)."""
+def _chunk_boxes(scene):
+    """Chunk AABB rows in WALK order, pulled from the chunk-BVH leaf nodes
+    (so nothing re-reduces over triangles per call)."""
     c = scene.walk_tris.shape[0]
-    chunk = scene.walk_tris.shape[2]
-    tris = [scene.walk_tris[:, comp, :].reshape(1, c * chunk)
-            for comp in range(_N_TRI)]
     link = scene.walk_node_link
     boxn = scene.walk_node_box
     is_leaf = link[2] == 1
@@ -296,7 +571,7 @@ def _walk_geometry(scene):
         jnp.where(is_leaf, link[1], c)].set(
         jnp.arange(link.shape[1], dtype=jnp.int32), mode="drop")
     box = [boxn[row][node_of_chunk][None, :] for row in range(_N_BOX)]
-    return tris, box, c, chunk
+    return box, c, scene.walk_tris.shape[2]
 
 
 def _check_walkable(scene):
@@ -307,7 +582,8 @@ def _check_walkable(scene):
 
 
 def _candidates(scene, rays_g, g):
-    """Run the traversal kernel on one ray group: candidate chunk lists."""
+    """Run the traversal kernel on one ray group, then sort each block's
+    candidate chunks front-to-back by conservative entry distance."""
     box, link, n_nodes = _pad_nodes(scene)
     c = scene.walk_tris.shape[0]
     maxc_pad = pl.cdiv(c, LANES) * LANES
@@ -323,35 +599,40 @@ def _candidates(scene, rays_g, g):
     count_spec = pl.BlockSpec((g, LANES), lambda i: (0, 0),
                               memory_space=pltpu.SMEM)
 
-    cand, count = pl.pallas_call(
+    cand, tnear, count = pl.pallas_call(
         _make_traverse_kernel(n_nodes, maxc_pad),
         grid=(g,),
         in_specs=[ray_spec] * _N_RAY + [box_spec, link_spec],
-        out_specs=[cand_spec, count_spec],
+        out_specs=[cand_spec, cand_spec, count_spec],
         out_shape=[
             jax.ShapeDtypeStruct((g, maxc_pad), jnp.int32),
+            jax.ShapeDtypeStruct((g, maxc_pad), jnp.float32),
             jax.ShapeDtypeStruct((g, LANES), jnp.int32)],
     )(*rays_g, box, link)
-    return cand, count, maxc_pad
+
+    # Front-to-back: sort each block's candidates by entry distance (the
+    # pad tail carries t_near = +BIG so it stays behind every real one).
+    order = jnp.argsort(tnear, axis=1)
+    cand = jnp.take_along_axis(cand, order, axis=1)
+    tnear = jnp.take_along_axis(tnear, order, axis=1)
+    return cand, tnear, count, maxc_pad
 
 
-def _sweep_specs(g, n_chunks, chunk, maxc_pad):
-    # index maps receive (i, j, cand_ref, count_ref) under scalar prefetch
-    ray_spec = pl.BlockSpec((RAY_SUB, LANES),
-                            lambda i, j, cand, cnt: (i, 0),
+def _sweep_specs(g, n_chunks, maxc_pad):
+    cand_spec = pl.BlockSpec((g, maxc_pad), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    count_spec = pl.BlockSpec((g, LANES), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    box_spec = pl.BlockSpec((1, n_chunks), lambda i, j, cand, cnt: (0, 0),
+    box_spec = pl.BlockSpec((1, n_chunks), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
-    tri_spec = pl.BlockSpec((1, chunk),
-                            lambda i, j, cand, cnt: (0, cand[i, j]),
-                            memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((RAY_SUB, LANES),
-                            lambda i, j, cand, cnt: (i, 0),
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM, DMA'd
+    out_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    grid = (g, maxc_pad)
-    in_specs = ([ray_spec] * _N_RAY + [box_spec] * _N_BOX
-                + [tri_spec] * _N_TRI)
-    return grid, in_specs, out_spec
+    in_specs = ([cand_spec, cand_spec, count_spec] + [ray_spec] * _N_RAY
+                + [box_spec] * _N_BOX + [tri_spec])
+    return (g,), in_specs, out_spec
 
 
 @jax.jit
@@ -359,32 +640,37 @@ def intersect_closest_raw(scene, o, d, tmin=0.0, tmax=100.0):
     """Hierarchical Pallas closest-hit: (t, tri_id) per ray (t=BIG on
     miss)."""
     _check_walkable(scene)
-    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax)
-    tris, box, n_chunks, chunk = _walk_geometry(scene)
-    grid, in_specs, out_spec = _sweep_specs(g, n_chunks, chunk,
-                                            pl.cdiv(n_chunks, LANES) * LANES)
+    r0 = o.shape[0]
+    perm = _coherence_perm(scene, o, d)
+    o, d = o[perm], d[perm]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r0,))[perm]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
+    box, n_chunks, chunk = _chunk_boxes(scene)
+    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks)
 
     def one_group(rays_g):
-        cand, count, maxc_pad = _candidates(scene, rays_g, g)
+        cand, tnear, count, maxc_pad = _candidates(scene, rays_g, g)
+        grid, in_specs, out_spec = _sweep_specs(g, n_chunks, maxc_pad)
         return pl.pallas_call(
             _make_sweep_kernel(chunk),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=[out_spec, out_spec],
-            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[out_spec, out_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((g * RAY_SUB, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((g * RAY_SUB, LANES), jnp.int32)],
-        )(cand, count, *rays_g, *box, *tris)
+        )(cand, tnear, count, *rays_g, *box, scene.walk_tris)
 
     if n_groups == 1:
         best_t, best_id = one_group([p[0] for p in rays])
     else:
         best_t, best_id = jax.lax.map(
             lambda planes: one_group(list(planes)), tuple(rays))
-    return best_t.reshape(-1)[:r], best_id.reshape(-1)[:r]
+    best_t = best_t.reshape(-1)[:r]
+    best_id = best_id.reshape(-1)[:r]
+    # undo the coherence sort
+    return (jnp.zeros_like(best_t).at[perm].set(best_t),
+            jnp.zeros_like(best_id).at[perm].set(best_id))
 
 
 def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0):
@@ -408,27 +694,29 @@ def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0):
 def intersect_any(scene, o, d, tmin=0.0, tmax=100.0):
     """Hierarchical Pallas occlusion query."""
     _check_walkable(scene)
-    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax)
-    tris, box, n_chunks, chunk = _walk_geometry(scene)
-    grid, in_specs, out_spec = _sweep_specs(g, n_chunks, chunk,
-                                            pl.cdiv(n_chunks, LANES) * LANES)
+    r0 = o.shape[0]
+    perm = _coherence_perm(scene, o, d)
+    o, d = o[perm], d[perm]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r0,))[perm]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
+    box, n_chunks, chunk = _chunk_boxes(scene)
+    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks)
 
     def one_group(rays_g):
-        cand, count, maxc_pad = _candidates(scene, rays_g, g)
+        cand, tnear, count, maxc_pad = _candidates(scene, rays_g, g)
+        grid, in_specs, out_spec = _sweep_specs(g, n_chunks, maxc_pad)
         return pl.pallas_call(
             _make_any_sweep_kernel(chunk),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=out_spec,
-            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((g * RAY_SUB, LANES), jnp.int32),
-        )(cand, count, *rays_g, *box, *tris)
+        )(cand, tnear, count, *rays_g, *box, scene.walk_tris)
 
     if n_groups == 1:
         blocked = one_group([p[0] for p in rays])
     else:
         blocked = jax.lax.map(lambda planes: one_group(list(planes)),
                               tuple(rays))
-    return blocked.reshape(-1)[:r] > 0
+    blocked = blocked.reshape(-1)[:r]
+    return jnp.zeros_like(blocked).at[perm].set(blocked) > 0

@@ -40,7 +40,10 @@ def _walk_chunk_size(t_pad: int) -> int:
 
 
 def _build_walk_arrays(v0, e1, e2, valid):
-    """Pack triangles as [n_chunks, 9, CHUNK] for single-DMA leaf fetches
+    """Pack triangles as [n_chunks, 16, CHUNK] (9 real component rows -
+    v0/e1/e2 xyz - plus 7 zero rows padding the sublane dim to a whole
+    (8,128) tile so a [1, 16, CHUNK] DMA slice is always tile-aligned,
+    wherever Mosaic places the array) for single-DMA leaf fetches
     and build the chunk-level skip-link BVH (SMEM-resident top level of the
     hierarchical Pallas kernel). Triangles are already in triangle-BVH leaf
     order, so consecutive chunks are spatially tight."""
@@ -62,8 +65,8 @@ def _build_walk_arrays(v0, e1, e2, valid):
     validp = np.concatenate([valid, np.zeros(pad, bool)]) if pad else valid
 
     tris = np.concatenate([v0p, e1p, e2p], axis=1)  # [T_pad, 9]
-    walk_tris = np.ascontiguousarray(
-        tris.reshape(n_chunks, chunk, 9).transpose(0, 2, 1))
+    walk_tris = np.zeros((n_chunks, 16, chunk), np.float32)
+    walk_tris[:, :9, :] = tris.reshape(n_chunks, chunk, 9).transpose(0, 2, 1)
 
     # chunk AABBs over valid triangles; empty chunks get a far-away point
     # box that fails every slab test (cf. intersect/pallas_kernels.py)
