@@ -86,30 +86,51 @@ def main():
         rays = frames * width * height * max_bounces * 2
         return rays / dt / 1e6
 
+    def measure(name, fn):
+        """Run one measurement; report it immediately (stderr) so a later
+        crash cannot zero numbers already computed (VERDICT r3 weak #2)."""
+        try:
+            val = fn()
+            print(f"[bench] {name} = {val:.3f} Mrays/s", file=sys.stderr,
+                  flush=True)
+            return val
+        except Exception as e:  # keep the other measurements alive
+            import traceback
+            traceback.print_exc()
+            print(f"[bench] {name} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            return None
+
     # 1) headline: Cornell forward (rounds 1-2 continuity)
-    cornell = forward_mrays("scene3_cornell", 256, 256, frames=8)
+    cornell = measure(
+        "cornell_fwd", lambda: forward_mrays("scene3_cornell", 256, 256,
+                                             frames=8))
 
     # 2) hall forward: 338k tris, walk kernels, textures, all lobes
-    hall = forward_mrays("hall", 256, 256, frames=2)
+    hall = measure("hall_fwd", lambda: forward_mrays("hall", 256, 256,
+                                                     frames=2))
 
     # 3) fwd+bwd: material-gradient step on the layered scene
-    model, camera, lights = PRESETS["layered"]()
-    scene = flatten_model(model, lights)
-    lobes = scene_active_lobes(scene)
-    width = height = 128
-    cam_params = camera.raygen_params(width, height)
-    mesh = make_mesh(1)
-    target = jnp.zeros((height, width, 3), jnp.float32)
+    def fwd_bwd_mrays():
+        model, camera, lights = PRESETS["layered"]()
+        scene = flatten_model(model, lights)
+        lobes = scene_active_lobes(scene)
+        width = height = 128
+        cam_params = camera.raygen_params(width, height)
+        mesh = make_mesh(1)
+        target = jnp.zeros((height, width, 3), jnp.float32)
 
-    @jax.jit
-    def grad_step(s):
-        new_scene, loss = material_grad_step(
-            mesh, s, cam_params, target, width, height, jnp.uint32(0),
-            max_bounces=max_bounces, active_lobes=lobes)
-        return loss
+        @jax.jit
+        def grad_step(s):
+            new_scene, loss = material_grad_step(
+                mesh, s, cam_params, target, width, height, jnp.uint32(0),
+                max_bounces=max_bounces, active_lobes=lobes)
+            return loss
 
-    dt = _bench(grad_step, scene)
-    fwd_bwd = width * height * max_bounces * 2 / dt / 1e6
+        dt = _bench(grad_step, scene)
+        return width * height * max_bounces * 2 / dt / 1e6
+
+    fwd_bwd = measure("fwd_bwd", fwd_bwd_mrays)
 
     baseline = None
     for path in sorted(glob.glob(os.path.join(os.path.dirname(
@@ -118,20 +139,25 @@ def main():
         try:
             with open(path) as f:
                 prev = json.load(f)
-            baseline = float(prev["value"])
+            # the driver wraps our line under "parsed"; accept both shapes
+            rec = prev.get("parsed") or prev
+            baseline = float(rec["value"])
             break
         except Exception:
             continue
 
-    vs = cornell / baseline if baseline else 1.0
+    rnd = lambda x: round(x, 3) if x is not None else None
+    vs = cornell / baseline if (baseline and cornell) else 1.0
     print(json.dumps({
         "metric": "Mrays/s (fwd path trace, cornell 256x256, 2 bounces+NEE)",
-        "value": round(cornell, 3),
+        "value": rnd(cornell),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
-        "hall_mrays_s": round(hall, 3),
-        "fwd_bwd_mrays_s": round(fwd_bwd, 3),
+        "hall_mrays_s": rnd(hall),
+        "fwd_bwd_mrays_s": rnd(fwd_bwd),
     }))
+    if cornell is None or hall is None or fwd_bwd is None:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -83,11 +83,17 @@ def _refine(scene, o, d, hit: Hit, tmax):
 
 def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
     """Closest-hit query with differentiable refinement. method in
-    {'auto', 'brute', 'bvh'}."""
+    {'auto', 'brute', 'bvh', 'pallas', 'walk'} ('auto' routes per backend
+    and scene size, see _resolve)."""
     engine = _engine(_resolve(method, scene))
     o_det = jax.lax.stop_gradient(o)
     d_det = jax.lax.stop_gradient(d)
     scene_det = jax.lax.stop_gradient(scene)
+    # tmin/tmax must be detached too: callers pass values derived from hit
+    # positions (which carry material-parameter tangents from bounce 1 on),
+    # and a nonzero tangent entering a Pallas engine aborts its JVP trace.
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     raw = engine.intersect_closest(scene_det, o_det, d_det, tmin, tmax)
     raw = jax.tree.map(jax.lax.stop_gradient, raw)
     tmax_arr = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
@@ -98,10 +104,15 @@ def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
 def intersect_any(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
     """Occlusion query (boolean, non-differentiable by design - visibility
     is a step function; its gradient contribution is dropped as in standard
-    detached-sampling differentiable renderers)."""
+    detached-sampling differentiable renderers). method as in
+    intersect_closest. Every input is detached, including tmin/tmax: the
+    NEE shadow_tmax is derived from surf.position and would otherwise leak
+    material tangents into the Pallas kernels (TPU JVP abort)."""
     engine = _engine(_resolve(method, scene))
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     scene = jax.lax.stop_gradient(scene)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
     blocked = engine.intersect_any(scene, o, d, tmin, tmax)
     return jax.lax.stop_gradient(blocked)

@@ -245,10 +245,17 @@ def _cluster_test_chunk(rays, box, c, best_t):
 def _mt_smem_tri(rays, tri_ref, k, bt):
     """Moller-Trumbore of triangle k (SMEM scratch [16, CHUNK] scalars,
     rows 0-8 = v0/e1/e2 xyz) against the ray block. Returns (t, hit) -
-    mirrors pallas_kernels._mt_scalar_tri with the chunked tri layout."""
+    mirrors pallas_kernels._mt_scalar_tri with the chunked tri layout.
+
+    The best-so-far bound `bt` is INCLUSIVE (t <= bt) while the ray's tmax
+    stays strict (t < tmax): candidates sweep in t_near order, not id
+    order, so matching the brute oracle's lowest-id winner on coincident
+    geometry requires the caller's (t == bt) & (cid < bi) tie-break to be
+    reachable."""
     ox, oy, oz = rays[0][:], rays[1][:], rays[2][:]
     dx, dy, dz = rays[3][:], rays[4][:], rays[5][:]
     tmin = rays[9][:]
+    tmax = rays[10][:]
 
     v0x = tri_ref[0, k]
     v0y = tri_ref[1, k]
@@ -276,7 +283,7 @@ def _mt_smem_tri(rays, tri_ref, k, bt):
     v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-           & (t > tmin) & (t < bt))
+           & (t > tmin) & (t <= bt) & (t < tmax))
     return t, hit
 
 
@@ -335,11 +342,11 @@ def _make_sweep_kernel(chunk: int):
                 def _sweep():
                     def tri_body(k, carry):
                         bt, bi = carry
-                        t, hit = _mt_smem_tri(rays, scratch.at[slot], k,
-                                              jnp.minimum(bt, tmax))
+                        t, hit = _mt_smem_tri(rays, scratch.at[slot], k, bt)
                         # tie-break toward the lowest triangle id so walk
                         # results are bit-identical to the brute oracle on
                         # coincident geometry regardless of sweep order
+                        # (hit allows t == bt; see _mt_smem_tri)
                         cid = c * chunk + k
                         better = hit & ((t < bt)
                                         | ((t == bt) & (cid < bi)))
@@ -429,8 +436,10 @@ def _make_any_sweep_kernel(chunk: int):
                 @pl.when(_cluster_test_chunk(rays, box, c, open_t))
                 def _sweep():
                     def tri_body(k, acc):
+                        # bound=BIG: occlusion needs any t in (tmin, tmax);
+                        # the strict t < tmax lives inside _mt_smem_tri
                         t, hit = _mt_smem_tri(rays, scratch.at[slot], k,
-                                              tmax)
+                                              BIG)
                         return jnp.maximum(acc, hit.astype(jnp.int32))
 
                     blk_s[:] = jax.lax.fori_loop(0, chunk, tri_body,
@@ -509,21 +518,43 @@ GROUP_BLOCKS = 32  # max ray blocks per pallas call; the candidate table
                    # whole in SMEM caps it further (_group_size); bigger
                    # wavefronts lax.map over groups.
 _SMEM_CAND_BUDGET = 192 * 1024  # bytes of SMEM granted to cand+tnear
+_SMEM_TOTAL_BUDGET = 512 * 1024  # conservative per-kernel SMEM envelope:
+                                 # every footprint below it has compiled on
+                                 # v5e; larger configs get trimmed (or
+                                 # rejected) here instead of failing in
+                                 # Mosaic with an allocation error
 
 
-def _group_size(n_blocks, n_chunks):
+def _group_size(n_blocks, n_chunks, chunk=0, n_nodes=0):
+    """Ray blocks per pallas call, bounded so the WHOLE per-kernel SMEM
+    footprint fits _SMEM_TOTAL_BUDGET - not just the cand/tnear table:
+    the sweep kernel also holds 6 chunk-box rows (24 B/chunk) and the
+    [_DMA_DEPTH, 16, chunk] f32 DMA scratch, and the traversal kernel
+    holds the node box+link arrays (36 B/node)."""
     maxc_pad = pl.cdiv(max(n_chunks, 1), LANES) * LANES
+    per_g = maxc_pad * 8 + LANES * 4          # cand + tnear + count row
+    fixed_sweep = n_chunks * _N_BOX * 4 + _DMA_DEPTH * 16 * chunk * 4
+    n_nodes_pad = pl.cdiv(max(n_nodes, 1), LANES) * LANES
+    fixed_trav = n_nodes_pad * 9 * 4          # box (6) + link (3) rows
+    fixed = max(fixed_sweep, fixed_trav)
+    if fixed + per_g > _SMEM_TOTAL_BUDGET:
+        raise ValueError(
+            f"walk kernel SMEM footprint {fixed + per_g} B exceeds the "
+            f"{_SMEM_TOTAL_BUDGET} B budget even at one block/group "
+            f"({n_chunks} chunks x {chunk} tris, {n_nodes} nodes); "
+            "lower scene/flatten.py MAX_WALK_CHUNKS or the chunk size")
     g_cap = max(1, _SMEM_CAND_BUDGET // (maxc_pad * 8))
-    return min(GROUP_BLOCKS, g_cap, n_blocks)
+    g_total = max(1, (_SMEM_TOTAL_BUDGET - fixed) // per_g)
+    return min(GROUP_BLOCKS, g_cap, g_total, n_blocks)
 
 
-def _prep_rays(o, d, tmin, tmax, n_chunks):
+def _prep_rays(o, d, tmin, tmax, n_chunks, chunk=0, n_nodes=0):
     """Pad rays to a whole number of group-sized chunks and lay them
     out as [n_groups, rows, LANES] planes."""
     r = o.shape[0]
     block = RAY_SUB * LANES
     n_blocks = pl.cdiv(r, block)
-    g = _group_size(n_blocks, n_chunks)
+    g = _group_size(n_blocks, n_chunks, chunk, n_nodes)
     n_groups = pl.cdiv(n_blocks, g)
     r_pad = n_groups * g * block
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -646,7 +677,8 @@ def intersect_closest_raw(scene, o, d, tmin=0.0, tmax=100.0):
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r0,))[perm]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
     box, n_chunks, chunk = _chunk_boxes(scene)
-    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks)
+    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks, chunk,
+                                      scene.walk_node_box.shape[1])
 
     def one_group(rays_g):
         cand, tnear, count, maxc_pad = _candidates(scene, rays_g, g)
@@ -700,7 +732,8 @@ def intersect_any(scene, o, d, tmin=0.0, tmax=100.0):
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r0,))[perm]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
     box, n_chunks, chunk = _chunk_boxes(scene)
-    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks)
+    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks, chunk,
+                                      scene.walk_node_box.shape[1])
 
     def one_group(rays_g):
         cand, tnear, count, maxc_pad = _candidates(scene, rays_g, g)

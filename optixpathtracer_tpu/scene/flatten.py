@@ -256,7 +256,9 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
         bvh_arrays = (np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
                       np.ones(1, np.int32), np.zeros(1, np.int32),
                       np.zeros(1, np.int32))
-        walk_arrays = (np.zeros((0, 9, 1), np.float32),
+        # sentinel matches the packed [n_chunks, 16, chunk] layout of
+        # _build_walk_arrays (rows 0-8 = tri components, 9-15 spare)
+        walk_arrays = (np.zeros((0, 16, 1), np.float32),
                        np.zeros((6, 0), np.float32),
                        np.zeros((3, 0), np.int32))
 
