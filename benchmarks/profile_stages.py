@@ -39,7 +39,12 @@ HBM_GBPS = 819.0          # v5e HBM bandwidth
 VPU_TFLOPS = 4.0          # order-of-magnitude v5e VPU fp32 envelope
 
 
-def _time(fn, *args, reps=3):
+def _time(fn, *args, reps=10):
+    # reps=10: over the axon tunnel, 3-rep timings carried ~10-30 ms of
+    # dispatch jitter per stage and inflated small stages up to 20x
+    # (round-3 PROFILE drafts). Two warmup rounds, then one timed batch.
+    out = fn(*args)
+    jax_block(out)
     out = fn(*args)
     jax_block(out)
     t0 = time.perf_counter()
@@ -132,10 +137,26 @@ def main():
         return dispatch.sample(seed, surf.mat, surf.wo_local, lobes)
 
     @jax.jit
+    def stage_shadow(surf):
+        # the NEE occlusion query in isolation (offset origins -> light)
+        lp = scene.light_pos[0]
+        wl = lp - surf.position
+        dist = jnp.linalg.norm(wl, axis=-1, keepdims=True)
+        wl = wl / jnp.maximum(dist, 1e-8)
+        so = surf.position + 1e-3 * surf.g_normal
+        return intersect_any(scene, so, wl, 0.0, dist[..., 0],
+                             method=args.method)
+
+    from optixpathtracer_tpu.integrate.cutout import (
+        scene_uses_alpha_cutout)
+    cutout = scene_uses_alpha_cutout(scene)
+
+    @jax.jit
     def full(frame_id):
         return render_sample(scene, pos, iv, ip, w, h, frame_id,
                              args.max_bounces, args.method, False, lobes,
-                             use_tex, flat_shading=flat)
+                             use_tex, use_alpha_cutout=cutout,
+                             flat_shading=flat)
 
     rows = []
 
@@ -150,11 +171,14 @@ def main():
         "barycentric interp + textures + shading frame")
     add("nee", _time(stage_nee, seed2, surf, beta, alive),
         "shadow intersect_any + dispatch.f (layered f walks nSamples=5)")
+    add("shadow_any", _time(stage_shadow, surf),
+        "isolated NEE occlusion query (intersect_any)")
     add("bsdf_sample", _time(stage_sample, seed2, surf),
         "dispatch.sample (layered walk maxDepth=10)")
     dt_full = _time(full, jnp.uint32(0))
     add("FULL_RENDER_SAMPLE", dt_full,
-        f"{args.max_bounces} bounces, all stages fused by XLA")
+        f"{args.max_bounces} bounces, alpha_cutout={cutout}, "
+        "all stages fused by XLA")
 
     # --- rough per-stage arithmetic-intensity model (intersection only:
     # the shading stages are pure VPU elementwise, trivially compute-bound)

@@ -51,6 +51,9 @@ def _engine(method: str):
     if method == "walk":
         from . import walk_kernels
         return walk_kernels
+    if method == "packet":
+        from . import packet_kernels
+        return packet_kernels
     return brute if method == "brute" else bvh_traverse
 
 
