@@ -6,20 +6,25 @@ the AgX tonemapper the reference implemented but left commented out
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 
 def linear_to_srgb(x):
-    """PBRT linear->sRGB transfer (`Final.frag:12-17`)."""
-    x = np.asarray(x, np.float32)
-    return np.where(x <= 0.0031308, 12.92 * x,
-                    1.055 * np.power(np.clip(x, 0.0, None), 1.0 / 2.4) - 0.055)
+    """PBRT linear->sRGB transfer (`Final.frag:12-17`). jnp-traced so it
+    can sit inside jitted losses (benchmarks/fit_goldens.py differentiates
+    through it); numpy inputs come back as jax arrays, which every caller
+    already np.asarray()s."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x <= 0.0031308, 12.92 * x,
+                     1.055 * jnp.power(jnp.clip(x, 0.0, None),
+                                       1.0 / 2.4) - 0.055)
 
 
 def srgb_to_linear(x):
-    x = np.asarray(x, np.float32)
-    return np.where(x <= 0.04045, x / 12.92,
-                    np.power((x + 0.055) / 1.055, 2.4))
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     jnp.power((x + 0.055) / 1.055, 2.4))
 
 
 # --- AgX (reference `Final.frag:104-130`, Blender/Troy Sobotka fit) ---

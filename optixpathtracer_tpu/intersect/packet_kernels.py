@@ -4,18 +4,18 @@ The round-3 walk kernel (intersect/walk_kernels.py) established that block
 aggregation is the architectural limit of wavefront traversal on TPU: a
 1024-ray block sweeps the UNION of its rays' candidate chunks, ~1000x the
 triangle tests of per-ray RT-core descent (`devicePrograms.cu:248`
-optixTrace). This kernel attacks the union directly by flipping the VPU
-tile's roles:
+optixTrace). This kernel attacks the union on two axes:
 
-  * A VPU op is [8 sublanes, 128 lanes]. The walk kernel uses sublanes x
-    lanes = 1024 RAYS and broadcasts one triangle per op; every ray pays
-    for every candidate in the block union.
-  * Here, sublanes = the 8 rays of ONE PACKET and lanes = 128 TRIANGLES of
-    one chunk slice: a single op tests one packet against a whole chunk
-    slice at full utilization - and each packet sweeps only ITS OWN
-    candidate list. 8-ray packets of coherence-sorted rays have candidate
-    sets close to per-ray BVH descent, so the union amplification drops
-    from 1024-ray to 8-ray granularity.
+  * **Role flip.** A VPU op is [8 sublanes, 128 lanes]. The walk kernel
+    maps sublanes x lanes to 1024 RAYS and broadcasts one triangle per
+    op, so every ray pays for every candidate in the block union. Here
+    sublanes = the 8 rays of ONE PACKET and lanes = 128 TRIANGLES of one
+    subchunk: a single op tests one packet against 128 triangles at full
+    utilization, and each packet sweeps only ITS OWN candidates.
+  * **Finer culling grain.** Candidates are 128-triangle SUBCHUNKS
+    (scene/flatten.py walk_sub_box), not the 128..1024-tri DMA chunks -
+    at 1M tris the chunk grain alone leaves ~20 x 512 tri tests per
+    packet; the subchunk grain cuts the swept triangles ~4x further.
 
 Pipeline (reusing the walk kernel's front half):
 
@@ -23,19 +23,20 @@ Pipeline (reusing the walk kernel's front half):
      1024-ray block, the candidate chunk union sorted front-to-back. This
      amortizes the scalar-core BVH walk over 1024 rays (a per-packet walk
      would be 128x more scalar work).
-  2. Between kernels (plain jnp): per-packet conservative interval slab
-     tests against each union candidate's AABB -> a BIT MASK per packet
-     over the block's sorted candidate list, packed 32/int32 word.
-  3. Sweep kernel, grid = (block, packet): at packet 0 of each block the
-     union candidates' triangles are DMA'd HBM->VMEM once (they are shared
-     by all 128 packets - per-packet DMA would re-fetch everything 128x);
-     each packet then walks its mask bits over the sorted candidates,
-     early-exits on t_near > its own best-t, and MT-tests only its own
-     candidates. Ray components for packet l are extracted from the
+  2. Between kernels (plain jnp): conservative interval slab tests of
+     each packet's 8-ray bounds against every union SUBCHUNK AABB,
+     compacted (cumsum scatter, no sort) into per-packet candidate LISTS
+     in sorted-union order. Packets overflowing the list capacity fall
+     back to sweeping the full union (correct, rare: count sentinel -1).
+  3. Sweep kernel, grid = (ray blocks,): per block the union chunks are
+     DMA'd HBM->VMEM once (shared by all 128 packets), the packet lists
+     land in SMEM, and a fori loop over the 128 packets sweeps each
+     packet's own subchunk list with front-to-back early exit on the
+     packet's best-t. Ray components for packet l are extracted from the
      resident [8, 128] ray planes with a one-hot selector matmul on the
-     MXU (R_all[96,128] @ E_l[128,128] broadcasts column l across lanes;
-     precision HIGHEST keeps the extraction exact - Mosaic has no dynamic
-     lane indexing, the MXU is the TPU-native way to move a lane).
+     MXU (R_all[128,128] @ E_l broadcasts column l across lanes;
+     precision HIGHEST keeps the extraction exact - Mosaic has no
+     dynamic lane indexing, the MXU is the TPU-native way to move one).
 
 Outputs match the other engines: (t, tri_id) only; barycentrics/backface
 recomputed differentiably by api._refine.
@@ -92,7 +93,8 @@ def _mt_packet(rays, tri_ref, base_lane, cid_base, bt, bi):
     tmin, tmax = rays[9], rays[10]
 
     def row(c):
-        return tri_ref[c, base_lane:base_lane + LANES][None, :]
+        # base_lane = k * 128 (dynamic but provably lane-aligned)
+        return tri_ref[c, pl.ds(base_lane, LANES)][None, :]
 
     v0x, v0y, v0z = row(0), row(1), row(2)
     e1x, e1y, e1z = row(3), row(4), row(5)
@@ -120,210 +122,245 @@ def _mt_packet(rays, tri_ref, base_lane, cid_base, bt, bi):
     return jnp.where(better, t, bt), jnp.where(better, cid, bi)
 
 
-def _make_packet_closest_kernel(chunk: int, cap: int, w32: int,
-                                maxc_pad: int):
+def _mt_any_packet(rays, tri_ref, base_lane):
+    """Occlusion variant: [8, 1]-reducible any-hit of the packet against
+    128 triangles."""
+    ox, oy, oz, dx, dy, dz = rays[0], rays[1], rays[2], rays[3], rays[4], \
+        rays[5]
+    tmin, tmax = rays[9], rays[10]
+
+    def row(c):
+        return tri_ref[c, pl.ds(base_lane, LANES)][None, :]
+
+    v0x, v0y, v0z = row(0), row(1), row(2)
+    e1x, e1y, e1z = row(3), row(4), row(5)
+    e2x, e2y, e2z = row(6), row(7), row(8)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) > EPS_DET
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t > tmin) & (t < tmax))
+    return jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)
+
+
+def _setup_dmas(cand_ref, list_hbm, hbm_tris, blk, n, cap, union_scr,
+                list_scr, union_sem, list_sem):
+    """Issue + drain the per-block DMAs: union chunks HBM->VMEM, packet
+    mask words HBM->SMEM. One shared semaphore per chain (DMA semaphores
+    are a scarce physical resource - a (cap,) array of them deadlocks the
+    chip)."""
+    def issue(j, _):
+        pltpu.make_async_copy(hbm_tris.at[cand_ref[blk, j]],
+                              union_scr.at[j], union_sem).start()
+        return 0
+    jax.lax.fori_loop(0, jnp.minimum(n, cap), issue, 0)
+    pltpu.make_async_copy(list_hbm.at[blk], list_scr, list_sem).start()
+
+    def drain(j, _):
+        pltpu.make_async_copy(hbm_tris.at[cand_ref[blk, j]],
+                              union_scr.at[j], union_sem).wait()
+        return 0
+    jax.lax.fori_loop(0, jnp.minimum(n, cap), drain, 0)
+    pltpu.make_async_copy(list_hbm.at[blk], list_scr, list_sem).wait()
+
+
+def _make_packet_closest_kernel(chunk: int, cap: int, maxc_pad: int,
+                                words_n: int):
     n_sub = chunk // LANES
 
-    def kernel(cand_ref, tnear_ref, count_ref, mask_hbm, rall_ref, hbm_tris,
-               best_t, best_id, bt_s, bi_s, union_scr, mask_scr, ring_scr,
-               union_sems, mask_sem, ring_sems):
+    def kernel(cand_ref, tnear_ref, count_ref, w0_ref, w1_ref, words_hbm,
+               rall_ref, hbm_tris, best_t, best_id, bt_s, bi_s, union_scr,
+               mask_scr, ring_scr, union_sem, mask_sem, ring_sem):
         blk = pl.program_id(0)
-        l = pl.program_id(1)
         n = count_ref[blk, 0]
+        _setup_dmas(cand_ref, words_hbm, hbm_tris, blk, n, cap, union_scr,
+                    mask_scr, union_sem, mask_sem)
+        best_t[:] = jnp.full_like(best_t[:], BIG)
+        best_id[:] = jnp.full_like(best_id[:], -1)
 
-        @pl.when(l == 0)
-        def _block_setup():
-            # fetch the union chunks once per block; every packet reads them
-            def issue(j, _):
-                pltpu.make_async_copy(
-                    hbm_tris.at[cand_ref[blk, j]], union_scr.at[j],
-                    union_sems.at[j]).start()
-                return 0
-            jax.lax.fori_loop(0, jnp.minimum(n, cap), issue, 0)
-            # per-packet candidate masks for the whole block
-            pltpu.make_async_copy(mask_hbm.at[blk], mask_scr,
-                                  mask_sem).start()
+        def packet_body(l, _):
+            rays = _extract_packet_rays(rall_ref, l)
+            tmax = rays[10]
+            bt_s[:] = jnp.full_like(bt_s[:], BIG)
+            bi_s[:] = jnp.full_like(bi_s[:], -1)
+            w0 = w0_ref[blk, l]
+            w1 = w1_ref[blk, l]
 
-            def drain(j, _):
-                pltpu.make_async_copy(
-                    hbm_tris.at[cand_ref[blk, j]], union_scr.at[j],
-                    union_sems.at[j]).wait()
-                return 0
-            jax.lax.fori_loop(0, jnp.minimum(n, cap), drain, 0)
-            pltpu.make_async_copy(mask_hbm.at[blk], mask_scr,
-                                  mask_sem).wait()
-            best_t[:] = jnp.full_like(best_t[:], BIG)
-            best_id[:] = jnp.full_like(best_id[:], -1)
+            def sweep_sub(rays, s):
+                j = s // n_sub
+                k = s - j * n_sub
 
-        rays = _extract_packet_rays(rall_ref, l)
-        tmax = rays[10]
+                @pl.when(j < cap)
+                def _from_union():
+                    bt, bi = _mt_packet(
+                        rays, union_scr.at[jnp.minimum(j, cap - 1)],
+                        k * LANES,
+                        cand_ref[blk, j] * chunk + k * LANES,
+                        bt_s[:], bi_s[:])
+                    bt_s[:] = bt
+                    bi_s[:] = bi
 
-        # per-packet running best lives in VMEM scratch (vector state can't
-        # ride lax.cond/while carries through Mosaic's scf lowering)
-        bt_s[:] = jnp.full_like(bt_s[:], BIG)
-        bi_s[:] = jnp.full_like(bi_s[:], -1)
+                @pl.when(j >= cap)
+                def _from_ring():
+                    slot = jax.lax.rem(s, 2)
+                    dma = pltpu.make_async_copy(
+                        hbm_tris.at[cand_ref[blk, j]], ring_scr.at[slot],
+                        ring_sem)
+                    dma.start()
+                    dma.wait()
+                    bt, bi = _mt_packet(
+                        rays, ring_scr.at[slot], k * LANES,
+                        cand_ref[blk, j] * chunk + k * LANES,
+                        bt_s[:], bi_s[:])
+                    bt_s[:] = bt
+                    bi_s[:] = bi
 
-        def sweep(tri_ref, c):
-            cid_base = c * chunk
+            def cond(state):
+                w, cont = state
+                return cont
+
+            def body(state):
+                w, _ = state
+                word0 = mask_scr[l, w]
+
+                # iterate set bits only: lowest-set-bit + branch-free
+                # binary position ladder (scalar core has no ctz/bitcast)
+                def bcond(st):
+                    return st != 0
+
+                def bbody(word):
+                    b = word & (-word)
+                    k = (jnp.where((b & jnp.int32(-65536)) != 0, 16, 0)
+                         + jnp.where((b & jnp.int32(-16711936)) != 0, 8, 0)
+                         + jnp.where((b & jnp.int32(-252645136)) != 0, 4, 0)
+                         + jnp.where((b & jnp.int32(-858993460)) != 0, 2, 0)
+                         + jnp.where((b & jnp.int32(-1431655766)) != 0, 1,
+                                     0))
+                    sweep_sub(rays, w * 32 + k)
+                    return word ^ b
+
+                jax.lax.while_loop(bcond, bbody, word0)
+
+                # word-granular front-to-back early exit on the packet's
+                # worst ray: candidates ascend in tnear with j
+                per_ray = jnp.min(jnp.minimum(bt_s[:], tmax), axis=1,
+                                  keepdims=True)
+                limit = jnp.max(per_ray)
+                j0_next = jnp.minimum(((w + 1) * 32) // n_sub,
+                                      maxc_pad - 1)
+                cont = (w + 1 <= w1) & (tnear_ref[blk, j0_next] <= limit)
+                return w + 1, cont
+
+            jax.lax.while_loop(cond, body, (w0, w0 <= w1))
+
+            # lane-slot reduce -> per-ray best, write this packet's column
             bt, bi = bt_s[:], bi_s[:]
-            for k in range(n_sub):
-                bt, bi = _mt_packet(rays, tri_ref, k * LANES,
-                                    cid_base + k * LANES, bt, bi)
-            bt_s[:] = bt
-            bi_s[:] = bi
+            m = jnp.min(bt, axis=1, keepdims=True)
+            sel = jnp.min(jnp.where(bt == m, bi, jnp.int32(2**31 - 1)),
+                          axis=1, keepdims=True)
+            sel = jnp.where(m < BIG, sel, -1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
+            best_t[:] = jnp.where(lane == l, jnp.broadcast_to(m, bt.shape),
+                                  best_t[:])
+            best_id[:] = jnp.where(lane == l,
+                                   jnp.broadcast_to(sel, bi.shape),
+                                   best_id[:])
+            return 0
 
-        def cond(state):
-            j, cont = state
-            return cont
-
-        def body(state):
-            j, _ = state
-            word = mask_scr[l, j // 32]
-            mine = ((word >> jax.lax.rem(j, 32)) & 1) > 0
-            c = cand_ref[blk, j]
-
-            # overflow candidates (j >= cap) are fetched on demand into a
-            # 2-slot ring; the resident-union fast path covers j < cap
-            @pl.when(mine & (j >= cap))
-            def _ring_path():
-                slot = jax.lax.rem(j, 2)
-                dma = pltpu.make_async_copy(hbm_tris.at[c],
-                                            ring_scr.at[slot],
-                                            ring_sems.at[slot])
-                dma.start()
-                dma.wait()
-                sweep(ring_scr.at[slot], c)
-
-            @pl.when(mine & (j < cap))
-            def _union_path():
-                sweep(union_scr.at[jnp.minimum(j, cap - 1)], c)
-
-            # early exit: candidates are tnear-sorted; stop once the next
-            # can't beat this packet's worst ray
-            per_ray = jnp.min(jnp.minimum(bt_s[:], tmax), axis=1,
-                              keepdims=True)
-            limit = jnp.max(per_ray)
-            nxt = jnp.minimum(j + 1, maxc_pad - 1)
-            cont = (j + 1 < n) & (tnear_ref[blk, nxt] <= limit)
-            return j + 1, cont
-
-        jax.lax.while_loop(cond, body, (jnp.int32(0), n > 0))
-
-        # reduce lane-slots -> per-ray best (min t, lowest id on ties),
-        # then write this packet's column of the block's [8, 128] output
-        bt, bi = bt_s[:], bi_s[:]
-        m = jnp.min(bt, axis=1, keepdims=True)                # [8, 1]
-        sel_id = jnp.min(jnp.where(bt == m, bi, jnp.int32(2**31 - 1)),
-                         axis=1, keepdims=True)
-        sel_id = jnp.where(m < BIG, sel_id, -1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
-        best_t[:] = jnp.where(lane == l, jnp.broadcast_to(m, bt.shape),
-                              best_t[:])
-        best_id[:] = jnp.where(lane == l,
-                               jnp.broadcast_to(sel_id, bi.shape),
-                               best_id[:])
+        jax.lax.fori_loop(0, LANES, packet_body, 0)
 
     return kernel
 
 
-def _make_packet_any_kernel(chunk: int, cap: int, w32: int, maxc_pad: int):
+def _make_packet_any_kernel(chunk: int, cap: int, maxc_pad: int,
+                            words_n: int):
     n_sub = chunk // LANES
 
-    def kernel(cand_ref, tnear_ref, count_ref, mask_hbm, rall_ref, hbm_tris,
-               blocked, blk_s, union_scr, mask_scr, ring_scr, union_sems,
-               mask_sem, ring_sems):
+    def kernel(cand_ref, tnear_ref, count_ref, w0_ref, w1_ref, words_hbm,
+               rall_ref, hbm_tris, blocked, blk_s, union_scr, mask_scr,
+               ring_scr, union_sem, mask_sem, ring_sem):
         blk = pl.program_id(0)
-        l = pl.program_id(1)
         n = count_ref[blk, 0]
+        _setup_dmas(cand_ref, words_hbm, hbm_tris, blk, n, cap, union_scr,
+                    mask_scr, union_sem, mask_sem)
+        blocked[:] = jnp.zeros_like(blocked[:])
 
-        @pl.when(l == 0)
-        def _block_setup():
-            def issue(j, _):
-                pltpu.make_async_copy(
-                    hbm_tris.at[cand_ref[blk, j]], union_scr.at[j],
-                    union_sems.at[j]).start()
-                return 0
-            jax.lax.fori_loop(0, jnp.minimum(n, cap), issue, 0)
-            pltpu.make_async_copy(mask_hbm.at[blk], mask_scr,
-                                  mask_sem).start()
+        def packet_body(l, _):
+            rays = _extract_packet_rays(rall_ref, l)
+            blk_s[:] = jnp.zeros_like(blk_s[:])
+            w0 = w0_ref[blk, l]
+            w1 = w1_ref[blk, l]
 
-            def drain(j, _):
-                pltpu.make_async_copy(
-                    hbm_tris.at[cand_ref[blk, j]], union_scr.at[j],
-                    union_sems.at[j]).wait()
-                return 0
-            jax.lax.fori_loop(0, jnp.minimum(n, cap), drain, 0)
-            pltpu.make_async_copy(mask_hbm.at[blk], mask_scr,
-                                  mask_sem).wait()
-            blocked[:] = jnp.zeros_like(blocked[:])
+            def sweep_sub(s):
+                j = s // n_sub
+                k = s - j * n_sub
 
-        rays = _extract_packet_rays(rall_ref, l)
-        tmin, tmax = rays[9], rays[10]
-        blk_s[:] = jnp.zeros_like(blk_s[:])
+                @pl.when(j < cap)
+                def _from_union():
+                    blk_s[:] = jnp.maximum(blk_s[:], _mt_any_packet(
+                        rays, union_scr.at[jnp.minimum(j, cap - 1)],
+                        k * LANES))
 
-        def hit_any(tri_ref):
-            acc = blk_s[:]
-            for k in range(n_sub):
-                def row(comp):
-                    return tri_ref[comp, k * LANES:k * LANES + LANES][None, :]
-                v0x, v0y, v0z = row(0), row(1), row(2)
-                e1x, e1y, e1z = row(3), row(4), row(5)
-                e2x, e2y, e2z = row(6), row(7), row(8)
-                dx, dy, dz = rays[3], rays[4], rays[5]
-                ox, oy, oz = rays[0], rays[1], rays[2]
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) > EPS_DET
-                inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > tmin) & (t < tmax))
-                acc = jnp.maximum(acc, jnp.max(hit.astype(jnp.int32),
-                                               axis=1, keepdims=True))
-            blk_s[:] = acc
+                @pl.when(j >= cap)
+                def _from_ring():
+                    slot = jax.lax.rem(s, 2)
+                    dma = pltpu.make_async_copy(
+                        hbm_tris.at[cand_ref[blk, j]], ring_scr.at[slot],
+                        ring_sem)
+                    dma.start()
+                    dma.wait()
+                    blk_s[:] = jnp.maximum(blk_s[:], _mt_any_packet(
+                        rays, ring_scr.at[slot], k * LANES))
 
-        def cond(state):
-            j, cont = state
-            return cont
+            def cond(state):
+                w, cont = state
+                return cont
 
-        def body(state):
-            j, _ = state
-            word = mask_scr[l, j // 32]
-            mine = ((word >> jax.lax.rem(j, 32)) & 1) > 0
-            c = cand_ref[blk, j]
+            def body(state):
+                w, _ = state
+                word0 = mask_scr[l, w]
+                not_done = jnp.min(blk_s[:]) == 0
 
-            @pl.when(mine & (j >= cap))
-            def _ring_path():
-                slot = jax.lax.rem(j, 2)
-                dma = pltpu.make_async_copy(hbm_tris.at[c],
-                                            ring_scr.at[slot],
-                                            ring_sems.at[slot])
-                dma.start()
-                dma.wait()
-                hit_any(ring_scr.at[slot])
+                def bcond(st):
+                    return st != 0
 
-            @pl.when(mine & (j < cap))
-            def _union_path():
-                hit_any(union_scr.at[jnp.minimum(j, cap - 1)])
+                def bbody(word):
+                    b = word & (-word)
+                    k = (jnp.where((b & jnp.int32(-65536)) != 0, 16, 0)
+                         + jnp.where((b & jnp.int32(-16711936)) != 0, 8, 0)
+                         + jnp.where((b & jnp.int32(-252645136)) != 0, 4, 0)
+                         + jnp.where((b & jnp.int32(-858993460)) != 0, 2, 0)
+                         + jnp.where((b & jnp.int32(-1431655766)) != 0, 1,
+                                     0))
+                    sweep_sub(w * 32 + k)
+                    return word ^ b
 
-            all_blocked = jnp.min(blk_s[:]) > 0
-            cont = (j + 1 < n) & (~all_blocked)
-            return j + 1, cont
+                jax.lax.while_loop(bcond, bbody,
+                                   jnp.where(not_done, word0, 0))
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), n > 0))
+                all_blocked = jnp.min(blk_s[:]) > 0
+                cont = (w + 1 <= w1) & (~all_blocked)
+                return w + 1, cont
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
-        blocked[:] = jnp.where(lane == l, blk_s[:], blocked[:])
+            jax.lax.while_loop(cond, body, (w0, w0 <= w1))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
+            blocked[:] = jnp.where(lane == l, blk_s[:], blocked[:])
+            return 0
+
+        jax.lax.fori_loop(0, LANES, packet_body, 0)
 
     return kernel
 
@@ -337,9 +374,9 @@ def _prep_rays_packet(o, d, tmin, tmax, n_chunks, chunk, n_nodes):
 
       * traversal planes [g*8, 128] row-major (ray = row*128 + lane), the
         layout walk_kernels' traversal kernel expects;
-      * sweep planes [g*16*8, 128] packet-major (ray = lane*8 + sublane),
-        16 component rows of 8 sublanes stacked so one [128, 128] selector
-        matmul extracts a whole packet.
+      * sweep planes stacked [n_groups, g, 16*8, 128] packet-major
+        (ray = lane*8 + sublane), so one [128, 128] selector matmul
+        extracts a whole packet.
     """
     r = o.shape[0]
     block = PACKET * LANES
@@ -369,18 +406,22 @@ def _prep_rays_packet(o, d, tmin, tmax, n_chunks, chunk, n_nodes):
         # packet-major: [B, 128, 8] -> [B, 8, 128] with [s, l] = ray l*8+s
         sweep.append(x.reshape(n_groups * g, LANES, PACKET)
                      .transpose(0, 2, 1))
-    # stack the 11 planes (+5 zero pads) per block: [n_groups, g, 128, 128]
     zeros = jnp.zeros_like(sweep[0])
     rall = jnp.concatenate(sweep + [zeros] * (_RAY_PAD - _N_RAY), axis=1)
     rall = rall.reshape(n_groups, g, _RAY_PAD * PACKET, LANES)
     return trav, rall, r, g, n_groups
 
 
-def _packet_masks(scene, rall_g, cand, tnear, g, maxc_pad):
-    """Per-packet bit masks over the block's sorted candidates (jnp,
-    between the kernels): conservative interval slab test of each packet's
-    8-ray bounds against each candidate chunk's AABB, bit-packed to
-    int32 words. rall_g: [g, 128, 128] stacked sweep planes."""
+def _packet_words(scene, rall_g, cand, tnear, g, maxc_pad):
+    """Per-packet candidate bit masks at SUBCHUNK grain (jnp, between the
+    kernels): conservative interval slab test of each packet's 8-ray
+    bounds against every union subchunk AABB (walk_sub_box), bit-packed
+    32/int32 word in sorted-union order (s = j * n_sub + k). Returns
+    (words int32 [g, 128, words_n], w0, w1 int32 [g, 128] = first/last
+    nonzero word per packet, so the kernel's word loop skips empty
+    spans)."""
+    chunk = scene.walk_tris.shape[2]
+    n_sub = chunk // LANES
     rall = rall_g.reshape(g, _RAY_PAD, PACKET, LANES)
     o = rall[:, 0:3]          # [g, 3, 8, 128]
     inv = rall[:, 6:9]
@@ -389,31 +430,26 @@ def _packet_masks(scene, rall_g, cand, tnear, g, maxc_pad):
     valid = tmax >= 0.0
 
     def pmin(x, fill):
-        return jnp.min(jnp.where(valid[:, None], x, fill), axis=2)  # [g,3,128]
+        return jnp.min(jnp.where(valid[:, None], x, fill), axis=2)
 
     def pmax(x, fill):
         return jnp.max(jnp.where(valid[:, None], x, fill), axis=2)
 
-    o_lo, o_hi = pmin(o, BIG), pmax(o, -BIG)
+    o_lo, o_hi = pmin(o, BIG), pmax(o, -BIG)          # [g, 3, 128]
     i_lo, i_hi = pmin(inv, BIG), pmax(inv, -BIG)
     t0_lo = jnp.min(jnp.where(valid, tmin, BIG), axis=1)   # [g, 128]
     t1_hi = jnp.max(jnp.where(valid, tmax, -BIG), axis=1)
 
-    # candidate AABBs in sorted order: [g, maxc, 6]
-    link = scene.walk_node_link
-    boxn = scene.walk_node_box
-    is_leaf = link[2] == 1
+    # subchunk AABBs in sorted-union order: sub id = cand * n_sub + k
     c = scene.walk_tris.shape[0]
-    node_of_chunk = jnp.zeros((c,), jnp.int32).at[
-        jnp.where(is_leaf, link[1], c)].set(
-        jnp.arange(link.shape[1], dtype=jnp.int32), mode="drop")
-    nid = node_of_chunk[jnp.clip(cand, 0, c - 1)]          # [g, maxc]
-    bn = [boxn[row][nid] for row in range(3)]              # each [g, maxc]
-    bx = [boxn[row + 3][nid] for row in range(3)]
+    sub_ids = (jnp.clip(cand, 0, c - 1)[:, :, None] * n_sub
+               + jnp.arange(n_sub)[None, None, :]).reshape(g, -1)
+    sb = scene.walk_sub_box                      # [6, C * n_sub]
+    bn = [sb[row][sub_ids] for row in range(3)]  # each [g, maxc*n_sub]
+    bx = [sb[row + 3][sub_ids] for row in range(3)]
 
-    # interval slab test: [g, 128, maxc]
-    t_near = jnp.full((g, LANES, maxc_pad), -BIG, jnp.float32)
-    t_far = jnp.full((g, LANES, maxc_pad), BIG, jnp.float32)
+    t_near = jnp.full((g, LANES, maxc_pad * n_sub), -BIG, jnp.float32)
+    t_far = jnp.full((g, LANES, maxc_pad * n_sub), BIG, jnp.float32)
     for ax in range(3):
         prods = []
         for b in (bn[ax][:, None, :], bx[ax][:, None, :]):
@@ -428,43 +464,53 @@ def _packet_masks(scene, rall_g, cand, tnear, g, maxc_pad):
         t_near = jnp.maximum(t_near, axis_lo)
         t_far = jnp.minimum(t_far, axis_hi)
 
+    pad_cand = jnp.repeat(tnear >= BIG, n_sub, axis=1)  # [g, maxc*n_sub]
     ok = ((t_near <= t_far) & (t_far >= t0_lo[..., None])
-          & (t_near <= t1_hi[..., None]) & (tnear[:, None, :] < BIG))
+          & (t_near <= t1_hi[..., None]) & (~pad_cand[:, None, :]))
 
-    # bit-pack along candidates: [g, 128, maxc/32] int32
-    w32 = maxc_pad // 32
-    bits = ok.reshape(g, LANES, w32, 32).astype(jnp.uint32)
+    # bit-pack along subchunks (pure elementwise - a scatter-based
+    # compaction here cost more than the sweep it fed), padded to a
+    # lane-aligned word count
+    s_total = maxc_pad * n_sub
+    w_real = s_total // 32
+    words_n = pl.cdiv(max(LANES, w_real), LANES) * LANES  # lane-aligned
+    bits = ok.reshape(g, LANES, w_real, 32).astype(jnp.uint32)
     shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
     words = jnp.sum(bits * shifts, axis=3, dtype=jnp.uint32)
-    return words.astype(jnp.int32)
+    if w_real < words_n:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, words_n - w_real)))
+    nz = words != 0
+    any_nz = jnp.any(nz, axis=2)
+    w0 = jnp.where(any_nz, jnp.argmax(nz, axis=2), 1).astype(jnp.int32)
+    w1 = jnp.where(any_nz,
+                   words_n - 1 - jnp.argmax(nz[:, :, ::-1], axis=2),
+                   0).astype(jnp.int32)
+    return words.astype(jnp.int32), w0, w1
 
 
-def _sweep_call(scene, cand, tnear, count, mask, rall_g, g, maxc_pad,
-                make_kernel, out_dtypes):
-    n_chunks = scene.walk_tris.shape[0]
+def _sweep_call(scene, cand, tnear, count, words, w0, w1, rall_g, g,
+                maxc_pad, make_kernel, out_dtypes):
     chunk = scene.walk_tris.shape[2]
     cap = _union_cap(chunk, maxc_pad)
-    w32 = maxc_pad // 32
+    words_n = words.shape[2]
 
-    cand_spec = pl.BlockSpec((g, maxc_pad), lambda b, l: (0, 0),
+    cand_spec = pl.BlockSpec((g, maxc_pad), lambda b: (0, 0),
                              memory_space=pltpu.SMEM)
-    count_spec = pl.BlockSpec((g, LANES), lambda b, l: (0, 0),
+    count_spec = pl.BlockSpec((g, LANES), lambda b: (0, 0),
                               memory_space=pltpu.SMEM)
-    mask_spec = pl.BlockSpec(memory_space=pl.ANY)
+    words_spec = pl.BlockSpec(memory_space=pl.ANY)
     rall_spec = pl.BlockSpec((1, _RAY_PAD * PACKET, LANES),
-                             lambda b, l: (b, 0, 0),
+                             lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_spec = pl.BlockSpec((PACKET, LANES), lambda b, l: (b, 0),
+    out_spec = pl.BlockSpec((PACKET, LANES), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = make_kernel(chunk, cap, w32, maxc_pad)
+    kernel = make_kernel(chunk, cap, maxc_pad, words_n)
 
-    def wrapped(cand, tnear, count, mask, rall, tris, *outs):
-        # rall block arrives [1, 128, 128]; drop the leading dim for the
-        # matmul
-        return kernel(cand, tnear, count, mask,
-                      rall.at[0], tris, *outs)
+    def wrapped(cand, tnear, count, w0, w1, words, rall, tris, *rest):
+        return kernel(cand, tnear, count, w0, w1, words,
+                      rall.at[0], tris, *rest)
 
     if len(out_dtypes) == 2:  # closest: (bt, bi) running state
         state = [pltpu.VMEM((PACKET, LANES), jnp.float32),
@@ -473,11 +519,11 @@ def _sweep_call(scene, cand, tnear, count, mask, rall_g, g, maxc_pad,
         state = [pltpu.VMEM((PACKET, LANES), jnp.int32)]
     scratch = state + [
         pltpu.VMEM((cap, 16, chunk), jnp.float32),    # union chunks
-        pltpu.SMEM((LANES, w32), jnp.int32),          # packet masks
+        pltpu.SMEM((LANES, words_n), jnp.int32),      # packet mask words
         pltpu.VMEM((2, 16, chunk), jnp.float32),      # overflow ring
-        pltpu.SemaphoreType.DMA((cap,)),
+        pltpu.SemaphoreType.DMA,   # shared by the union prefetch chain
         pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
     ]
     out_shapes = [jax.ShapeDtypeStruct((g * PACKET, LANES), dt)
                   for dt in out_dtypes]
@@ -486,13 +532,13 @@ def _sweep_call(scene, cand, tnear, count, mask, rall_g, g, maxc_pad,
         out_shapes, out_specs = out_shapes[0], out_specs[0]
     return pl.pallas_call(
         wrapped,
-        grid=(g, LANES),
-        in_specs=[cand_spec, cand_spec, count_spec, mask_spec, rall_spec,
-                  tri_spec],
+        grid=(g,),
+        in_specs=[cand_spec, cand_spec, count_spec, count_spec, count_spec,
+                  words_spec, rall_spec, tri_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
-    )(cand, tnear, count, mask, rall_g, scene.walk_tris)
+    )(cand, tnear, count, w0, w1, words, rall_g, scene.walk_tris)
 
 
 def _unpack_ray_major(x, r):
@@ -518,9 +564,11 @@ def intersect_closest_raw(scene, o, d, tmin=0.0, tmax=100.0):
     def one_group(args):
         trav_g, rall_g = args
         cand, tnear, count, maxc_pad = _candidates(scene, list(trav_g), g)
-        mask = _packet_masks(scene, rall_g, cand, tnear, g, maxc_pad)
-        return _sweep_call(scene, cand, tnear, count, mask, rall_g, g,
-                           maxc_pad, _make_packet_closest_kernel,
+        words, w0, w1 = _packet_words(scene, rall_g, cand, tnear, g,
+                                      maxc_pad)
+        return _sweep_call(scene, cand, tnear, count, words, w0, w1,
+                           rall_g, g, maxc_pad,
+                           _make_packet_closest_kernel,
                            (jnp.float32, jnp.int32))
 
     if n_groups == 1:
@@ -566,9 +614,11 @@ def intersect_any(scene, o, d, tmin=0.0, tmax=100.0):
     def one_group(args):
         trav_g, rall_g = args
         cand, tnear, count, maxc_pad = _candidates(scene, list(trav_g), g)
-        mask = _packet_masks(scene, rall_g, cand, tnear, g, maxc_pad)
-        return _sweep_call(scene, cand, tnear, count, mask, rall_g, g,
-                           maxc_pad, _make_packet_any_kernel, (jnp.int32,))
+        words, w0, w1 = _packet_words(scene, rall_g, cand, tnear, g,
+                                      maxc_pad)
+        return _sweep_call(scene, cand, tnear, count, words, w0, w1,
+                           rall_g, g, maxc_pad, _make_packet_any_kernel,
+                           (jnp.int32,))
 
     if n_groups == 1:
         blocked = one_group(([p[0] for p in trav], rall[0]))

@@ -83,8 +83,18 @@ def _build_walk_arrays(v0, e1, e2, valid):
     c_min = np.where(empty, big, c_min)
     c_max = np.where(empty, big, c_max)
 
+    # 128-tri SUBchunk AABBs (packet-sweep culling grain): same reduction
+    # at the finer granularity, empty subchunks degenerate to a far box
+    n_sub = chunk // 128
+    s_min = bb_min.reshape(n_chunks * n_sub, 128, 3).min(axis=1)
+    s_max = bb_max.reshape(n_chunks * n_sub, 128, 3).max(axis=1)
+    s_empty = s_min[:, :1] > s_max[:, :1]
+    s_min = np.where(s_empty, big, s_min)
+    s_max = np.where(s_empty, big, s_max)
+    sub_box = np.concatenate([s_min.T, s_max.T], axis=0)  # [6, C*n_sub]
+
     tree = bvh_mod.build_chunk_bvh(c_min, c_max)
-    return walk_tris, tree.node_box, tree.node_link
+    return walk_tris, tree.node_box, tree.node_link, sub_box
 
 
 class SceneData(NamedTuple):
@@ -128,6 +138,10 @@ class SceneData(NamedTuple):
     walk_tris: jnp.ndarray
     walk_node_box: jnp.ndarray
     walk_node_link: jnp.ndarray
+    # per-128-tri SUBchunk AABBs [6, n_chunks * (chunk // 128)] - the
+    # fine-grained culling grain of the packet sweep kernel
+    # (intersect/packet_kernels.py); rows = min xyz, max xyz
+    walk_sub_box: jnp.ndarray
 
     @property
     def num_triangles(self):
@@ -260,7 +274,8 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
         # _build_walk_arrays (rows 0-8 = tri components, 9-15 spare)
         walk_arrays = (np.zeros((0, 16, 1), np.float32),
                        np.zeros((6, 0), np.float32),
-                       np.zeros((3, 0), np.int32))
+                       np.zeros((3, 0), np.int32),
+                       np.zeros((6, 0), np.float32))
 
     # --- pad to multiple (degenerate far-away triangles never hit)
     t_pad = -(-t_real // PAD_MULTIPLE) * PAD_MULTIPLE
@@ -332,4 +347,5 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
         walk_tris=jnp.asarray(walk_arrays[0]),
         walk_node_box=jnp.asarray(walk_arrays[1]),
         walk_node_link=jnp.asarray(walk_arrays[2]),
+        walk_sub_box=jnp.asarray(walk_arrays[3]),
     )

@@ -189,8 +189,15 @@ def _sphere_grid(mat_fn, rows=3, cols=3, radius=0.22, spacing=0.6,
 # fitted by minimizing MSE against the goldens (benchmarks/accuracy.py).
 GOLDEN_GEO = dict(
     radius=0.2, spacing=0.4627, back_x=-0.5, floor_y=-1.2, ceil_y=3.2,
-    sphere_rgb=(0.42, 0.003, 0.003), back_rgb=(0.12, 0.12, 0.12),
-    green_rgb=(0.0, 0.27, 0.005), blue_rgb=(0.0, 0.005, 0.27),
+    # Albedos from the round-4 Adam fit (benchmarks/fit_goldens.py, 300
+    # steps against the diffuse golden - the dispatch under which albedo
+    # is most identifiable; the reference renders all five goldens from
+    # ONE asset, so the fitted values are shared). The r2
+    # coordinate-descent values sat in a dark local minimum (walls 0.12);
+    # the gradient fit brightened them to 0.64-0.70 and cut diffuse
+    # golden MSE 1.60e-2 -> 2.78e-3 at 240x135/64spp.
+    sphere_rgb=(0.3807, 0.0013, 0.0012), back_rgb=(0.7013, 0.6406, 0.6409),
+    green_rgb=(0.0084, 0.4879, 0.0081), blue_rgb=(0.0082, 0.0079, 0.486),
     wall_rough=1.0, dielectric20_light=20.0,
 )
 
