@@ -30,6 +30,7 @@ from ..camera.camera import generate_rays
 from ..core import rng
 from ..core.math import abs_cos_theta, dot, length, length_sqr, normalize
 from ..intersect import intersect_any, intersect_closest
+from ..intersect.types import Hit
 from .cutout import intersect_any_cutout, intersect_closest_cutout
 from .surface import make_surface
 
@@ -173,6 +174,42 @@ def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
     return seed, jnp.where(visible[..., None], contrib, 0.0)
 
 
+def _shade_wave(scene, o, d, seed, hit, beta, alive, radiance,
+                reference_compat, use_textures, flat_shading,
+                intersect_method, active_lobes, use_alpha_cutout):
+    """The full shading stage for one wavefront slice: surface context,
+    NEE, BSDF sample, throughput/ray update. Factored out so
+    compact_shading can run it per contiguous segment under lax.cond
+    (a segment with zero live lanes skips the whole stage at runtime).
+    Returns (seed, radiance, beta, o, d, alive)."""
+    seed, surf = make_surface(seed, scene, o, d, hit,
+                              reference_compat=reference_compat,
+                              use_textures=use_textures,
+                              flat_shading=flat_shading)
+
+    seed, nee_contrib = _nee(seed, scene, surf, beta, alive,
+                             intersect_method, active_lobes,
+                             use_alpha_cutout)
+    radiance = radiance + jnp.where(alive[..., None], nee_contrib, 0.0)
+
+    seed, bs = dispatch.sample(seed, surf.mat, surf.wo_local, active_lobes)
+    ok = bs.valid & (bs.pdf > 0.0)
+    new_beta = (beta * bs.color * abs_cos_theta(bs.direction)[..., None]
+                / jnp.where(bs.pdf == 0.0, 1.0, bs.pdf)[..., None])
+    alive = alive & ok
+
+    wi_world = normalize(surf.to_world(bs.direction))
+    offset_sign = jnp.where(bs.direction[..., 2] < 0.0, -1.0, 1.0)
+    new_o = (surf.position
+             + (SHADOW_OFFSET * offset_sign)[..., None] * surf.g_normal)
+
+    beta = jnp.where(alive[..., None], new_beta, beta)
+    o = jnp.where(alive[..., None], new_o, o)
+    d = jnp.where(alive[..., None], wi_world, d)
+    alive = alive & (length(beta) > BETA_EPS)
+    return seed, radiance, beta, o, d, alive
+
+
 def trace_paths(scene, o, d, seed, max_bounces: int,
                 intersect_method: str = "auto",
                 reference_compat: bool = False,
@@ -181,7 +218,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                 use_alpha_cutout: bool = False,
                 debug_pixel: int | None = None,
                 sort_rays: bool | None = None,
-                flat_shading: bool = False):
+                flat_shading: bool = False,
+                compact_shading: int = 0):
     """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
     Returns (radiance [R, 3], seed).
 
@@ -198,8 +236,16 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
     arithmetic is order-invariant, so images are bit-identical either way.
     Default OFF: on v5e the bucket permutation costs ~1 ms per bounce while
     block-level culling on the bench scenes gains less; flip on for large
-    scenes with incoherent bounce wavefronts."""
+    scenes with incoherent bounce wavefronts.
+    compact_shading (static): split every secondary bounce's SHADING stage
+    into this many contiguous segments, each under lax.cond on 'any lane
+    alive'. With sort_rays on, dead lanes sort last (COMPACTION.md:
+    layered occupancy decays 51/24/10% by bounce 3), so trailing segments
+    skip the surface/NEE/BSDF work entirely at runtime. 0 = off. Requires
+    sort_rays; implies segment count divides the wavefront."""
     r = o.shape[0]
+    if compact_shading and not sort_rays:
+        sort_rays = True  # segments only pay off with dead-lanes-last
     radiance = jnp.zeros((r, 3), jnp.float32)
     beta = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
@@ -228,12 +274,11 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
         # miss -> background is black; path dies with radiance unchanged
         alive = alive & hit.hit
 
-        seed, surf = make_surface(seed, scene, o, d, hit,
-                                  reference_compat=reference_compat,
-                                  use_textures=use_textures,
-                                  flat_shading=flat_shading)
-
         if debug_pixel is not None:
+            seed_dbg, surf = make_surface(seed, scene, o, d, hit,
+                                          reference_compat=reference_compat,
+                                          use_textures=use_textures,
+                                          flat_shading=flat_shading)
             jax.debug.print(
                 "debug ray bounce {b}: pos={pos} albedo={alb} "
                 "ns={ns} ng={ng} rough={r} metal={m} alive={a}",
@@ -245,29 +290,34 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                 m=surf.mat.metallic[debug_pixel],
                 a=alive[debug_pixel])
 
-        # --- NEE
-        seed, nee_contrib = _nee(seed, scene, surf, beta, alive,
-                                 intersect_method, active_lobes,
-                                 use_alpha_cutout)
-        radiance = radiance + jnp.where(alive[..., None], nee_contrib, 0.0)
+        shade_args = (reference_compat, use_textures, flat_shading,
+                      intersect_method, active_lobes, use_alpha_cutout)
+        if compact_shading and _bounce and debug_pixel is None \
+                and r % compact_shading == 0:
+            # Segmented shading: dead lanes sorted last, so trailing
+            # segments skip surface+NEE+BSDF entirely (VERDICT r3 item 6;
+            # occupancy table in COMPACTION.md).
+            size = r // compact_shading
+            pieces = []
+            for si in range(compact_shading):
+                sl = slice(si * size, (si + 1) * size)
+                hit_sl = Hit(*[f[sl] for f in hit])
+                carry = (seed[sl], radiance[sl], beta[sl], o[sl], d[sl],
+                         alive[sl])
 
-        # --- BSDF sample + throughput update (`devicePrograms.cu:474-509`)
-        seed, bs = dispatch.sample(seed, surf.mat, surf.wo_local,
-                                   active_lobes)
-        ok = bs.valid & (bs.pdf > 0.0)
-        new_beta = (beta * bs.color * abs_cos_theta(bs.direction)[..., None]
-                    / jnp.where(bs.pdf == 0.0, 1.0, bs.pdf)[..., None])
-        alive = alive & ok
+                def shade(carry, hit_sl=hit_sl):
+                    s, rad, b, oo, dd, al = carry
+                    return _shade_wave(scene, oo, dd, s, hit_sl, b, al,
+                                       rad, *shade_args)
 
-        wi_world = normalize(surf.to_world(bs.direction))
-        offset_sign = jnp.where(bs.direction[..., 2] < 0.0, -1.0, 1.0)
-        new_o = (surf.position
-                 + (SHADOW_OFFSET * offset_sign)[..., None] * surf.g_normal)
-
-        beta = jnp.where(alive[..., None], new_beta, beta)
-        o = jnp.where(alive[..., None], new_o, o)
-        d = jnp.where(alive[..., None], wi_world, d)
-        alive = alive & (length(beta) > BETA_EPS)
+                pieces.append(jax.lax.cond(
+                    jnp.any(alive[sl]), shade, lambda c: c, carry))
+            seed, radiance, beta, o, d, alive = (
+                jnp.concatenate([p[k] for p in pieces])
+                for k in range(6))
+        else:
+            seed, radiance, beta, o, d, alive = _shade_wave(
+                scene, o, d, seed, hit, beta, alive, radiance, *shade_args)
 
     if sort_rays and max_bounces > 1 and debug_pixel is None:
         # Undo the coherence sort: scatter per-lane results back to pixel
@@ -281,7 +331,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                                    "intersect_method", "reference_compat",
                                    "active_lobes", "use_textures",
                                    "use_alpha_cutout", "debug_pixel",
-                                   "sort_rays", "flat_shading"))
+                                   "sort_rays", "flat_shading",
+                                   "compact_shading"))
 def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   width: int, height: int, frame_id,
                   max_bounces: int = 2,
@@ -292,7 +343,8 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   use_alpha_cutout: bool = False,
                   debug_pixel: int | None = None,
                   sort_rays: bool | None = None,
-                  flat_shading: bool = False):
+                  flat_shading: bool = False,
+                  compact_shading: int = 0):
     """Render one 1-spp frame: [H, W, 3] linear radiance (row 0 = bottom,
     GL convention like the reference framebuffer).
 
@@ -312,7 +364,7 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                               intersect_method, reference_compat,
                               active_lobes, use_textures,
                               use_alpha_cutout, debug_pixel,
-                              sort_rays, flat_shading)
+                              sort_rays, flat_shading, compact_shading)
     return radiance.reshape(height, width, 3)
 
 
