@@ -86,8 +86,9 @@ def _refine(scene, o, d, hit: Hit, tmax):
 
 def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
     """Closest-hit query with differentiable refinement. method in
-    {'auto', 'brute', 'bvh', 'pallas', 'walk'} ('auto' routes per backend
-    and scene size, see _resolve)."""
+    {'auto', 'brute', 'bvh', 'pallas', 'walk', 'packet'} ('auto' routes
+    per backend and scene size, see _resolve; 'packet' is the opt-in
+    per-8-ray-packet sweep engine)."""
     engine = _engine(_resolve(method, scene))
     o_det = jax.lax.stop_gradient(o)
     d_det = jax.lax.stop_gradient(d)
