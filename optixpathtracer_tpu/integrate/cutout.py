@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..intersect import intersect_closest
+from ..intersect import intersect_any, intersect_closest
+from ..intersect.api import _refine
 from ..intersect.types import Hit
 from ..scene.textures import sample_bilinear, srgb_to_linear
 
@@ -63,17 +64,84 @@ def intersect_closest_cutout(scene, o, d, tmin=0.0, tmax=100.0,
                              method="auto"):
     """Closest hit skipping cutout surfaces (radiance-ray anyhit analog).
 
-    Each re-trace layer is gated two ways (measured 5x on the hall scene,
-    where the naive version re-traced the full wavefront 4 extra times):
-      * `lax.cond` on 'any lane cut' skips whole layers at runtime - the
-        common case once the first opaque hit lands;
-      * non-cut lanes re-trace with tmax = -1 (the dead-lane convention the
-        Pallas kernels already cull by block), so a layer only pays for
-        the blocks that actually contain cut lanes.
+    Fast path (flatten-time opaque/cutout split with outer-id maps): ONE
+    closest hit over the opaque sub-scene + the cutout chain over the
+    (tiny) cutout sub-scene; the winner's triangle id maps back to the
+    outer scene through tri_outer_id and the final hit is re-refined
+    differentiably against the outer geometry - so no full-scene re-trace
+    ever runs (was ~180 ms/frame on the hall preset even gated).
+
+    Legacy path (no split): layers are lax.cond-gated and re-trace with
+    non-cut lanes dead (tmax = -1) as of round 4.
     """
     r = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+
+    if scene.opaque_scene is not None and scene.cutout_sub is not None:
+        opq = scene.opaque_scene
+        sub = scene.cutout_sub
+        h_o = intersect_closest(opq, o, d, tmin, tmax, method=method)
+        # cutout chain over the subset, bounded by the opaque hit
+        sub_bound = jnp.where(h_o.hit, h_o.t + REENTRY_EPS, tmax_b)
+        cur_tmin = tmin
+        open_ = jnp.ones((r,), bool)
+        best_t = jnp.full((r,), jnp.inf, jnp.float32)
+        best_id = jnp.full((r,), -1, jnp.int32)
+
+        def step(state, gate):
+            best_t, best_id, open_, cur_tmin = state
+            lane_tmax = jnp.where(gate, sub_bound, -1.0)
+            h = intersect_closest(sub, o, d, cur_tmin, lane_tmax,
+                                  method=method)
+            solid = h.hit & (_hit_alpha(sub, h) >= ALPHA_THRESHOLD)
+            take = open_ & solid
+            best_t = jnp.where(take, h.t, best_t)
+            best_id = jnp.where(take, h.tri_id, best_id)
+            open_ = open_ & h.hit & ~solid
+            cur_tmin = jnp.where(open_, h.t + REENTRY_EPS, cur_tmin)
+            # layers beyond the bound conservatively occlude: remember the
+            # deepest cut hit so exhausting the chain still reports a hit
+            return best_t, best_id, open_, cur_tmin, h
+
+        state = (best_t, best_id, open_, cur_tmin)
+        last_cut_t = jnp.full((r,), jnp.inf, jnp.float32)
+        last_cut_id = jnp.full((r,), -1, jnp.int32)
+        for layer in range(MAX_CUTOUT_LAYERS + 1):
+            def run(s, layer=layer):
+                bt, bi, op, ct, h = step(s[:4], s[2])
+                lt = jnp.where(op & h.hit, h.t, s[4])
+                li = jnp.where(op & h.hit, h.tri_id, s[5])
+                return bt, bi, op, ct, lt, li
+
+            full_state = state + (last_cut_t, last_cut_id)
+            full_state = jax.lax.cond(jnp.any(full_state[2]), run,
+                                      lambda s: s, full_state)
+            state = full_state[:4]
+            last_cut_t, last_cut_id = full_state[4], full_state[5]
+        best_t, best_id, open_, _ = state
+        # exhausted chains occlude at the deepest cut surface
+        best_t = jnp.where(open_ & (last_cut_id >= 0), last_cut_t, best_t)
+        best_id = jnp.where(open_ & (last_cut_id >= 0), last_cut_id,
+                            best_id)
+
+        sub_hit = best_id >= 0
+        sub_wins = sub_hit & (~h_o.hit | (best_t < h_o.t))
+        n_sub = sub.tri_outer_id.shape[0]
+        sub_outer = sub.tri_outer_id[jnp.clip(best_id, 0, n_sub - 1)]
+        n_opq = opq.tri_outer_id.shape[0]
+        opq_outer = opq.tri_outer_id[jnp.clip(h_o.tri_id, 0, n_opq - 1)]
+        final_id = jnp.where(sub_wins, sub_outer,
+                             jnp.where(h_o.hit, opq_outer, -1))
+        final_hit = sub_wins | h_o.hit
+        raw = Hit(t=jnp.where(sub_wins, best_t, h_o.t),
+                  tri_id=jax.lax.stop_gradient(final_id),
+                  u=jnp.zeros((r,)), v=jnp.zeros((r,)),
+                  hit=final_hit, back_face=jnp.zeros((r,), bool))
+        # differentiable refinement against the OUTER geometry, exactly
+        # like api.intersect_closest's contract
+        return _refine(scene, o, d, raw, tmax_b)
+
     best = intersect_closest(scene, o, d, tmin, tmax, method=method)
     for _ in range(MAX_CUTOUT_LAYERS):
         cut = best.hit & (_hit_alpha(scene, best) < ALPHA_THRESHOLD)
@@ -89,17 +157,14 @@ def intersect_closest_cutout(scene, o, d, tmin=0.0, tmax=100.0,
     return best
 
 
-def intersect_any_cutout(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
-    """Occlusion query honoring cutout (shadow-ray anyhit analog,
-    `devicePrograms.cu:556-561`): a ray is blocked only by a hit whose
-    alpha passes the threshold. Layers past the first are runtime-gated as
-    in intersect_closest_cutout."""
+def _any_cutout_chain(scene, o, d, tmin, tmax_b, gate0, method):
+    """The closest-hit cutout chain over `scene`: a ray is blocked only by
+    a hit whose alpha passes the threshold; cutout hits re-enter. gate0
+    masks lanes that need the query at all."""
     r = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     cur_tmin = tmin
     blocked = jnp.zeros((r,), bool)
-    open_ = jnp.ones((r,), bool)  # still searching
+    open_ = gate0
 
     def step(state, lane_gate):
         blocked, open_, cur_tmin = state
@@ -113,10 +178,40 @@ def intersect_any_cutout(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
         cur_tmin = jnp.where(open_, hit.t + REENTRY_EPS, cur_tmin)
         return blocked, open_, cur_tmin
 
-    state = step((blocked, open_, cur_tmin), open_)
+    state = jax.lax.cond(jnp.any(gate0),
+                         lambda s: step(s, s[1]), lambda s: s,
+                         (blocked, open_, cur_tmin))
     for _ in range(MAX_CUTOUT_LAYERS):
         state = jax.lax.cond(jnp.any(state[1]),
                              lambda s: step(s, s[1]), lambda s: s, state)
     blocked, open_, _ = state
     # layers beyond the bound conservatively occlude
     return blocked | open_
+
+
+def intersect_any_cutout(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
+    """Occlusion query honoring cutout (shadow-ray anyhit analog,
+    `devicePrograms.cu:556-561`): a ray is blocked only by a hit whose
+    alpha passes the threshold.
+
+    Fast path (scene.opaque_scene/cutout_sub from the flatten-time split):
+    a plain boolean any-hit over the opaque triangles - the early-exit
+    query the reference's TERMINATE_ON_FIRST_HIT shadow rays get for free
+    - OR'd with the closest-hit cutout chain run only over the (small)
+    cutout subset, gated to lanes the opaque pass didn't already block.
+    Without the split (untextured subsets or legacy scenes), the chain
+    runs over the full scene as before."""
+    r = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+
+    if scene.opaque_scene is not None and scene.cutout_sub is not None:
+        blocked_o = intersect_any(scene.opaque_scene, o, d, tmin, tmax_b,
+                                  method=method)
+        blocked_c = _any_cutout_chain(scene.cutout_sub, o, d, tmin,
+                                      jnp.where(blocked_o, -1.0, tmax_b),
+                                      ~blocked_o, method)
+        return blocked_o | blocked_c
+
+    return _any_cutout_chain(scene, o, d, tmin, tmax_b,
+                             jnp.ones((r,), bool), method)

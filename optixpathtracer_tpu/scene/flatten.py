@@ -142,6 +142,20 @@ class SceneData(NamedTuple):
     # fine-grained culling grain of the packet sweep kernel
     # (intersect/packet_kernels.py); rows = min xyz, max xyz
     walk_sub_box: jnp.ndarray
+    # Opaque/cutout scene split (integrate/cutout.py occlusion fast path):
+    # sub-SceneDatas over just the opaque / just the cutout-capable
+    # triangles. Shadow queries then run a plain any-hit on the opaque
+    # part plus a closest-hit cutout chain on the (small) cutout part,
+    # instead of up to 5 closest-hit chains over the full scene. None
+    # when the scene has no cutout texels or either side is empty;
+    # booleans only - triangle ids from these never reach shading.
+    opaque_scene: object = None
+    cutout_sub: object = None
+    # provenance: output slot -> pre-BVH concatenated-model triangle index
+    # (-1 for padding); lets sub-scene hits be mapped back to outer ids
+    tri_src: object = None
+    # sub-scenes only: output slot -> OUTER scene post-BVH triangle id
+    tri_outer_id: object = None
 
     @property
     def num_triangles(self):
@@ -207,8 +221,20 @@ def _resize_texture(pixels: np.ndarray, res: int) -> np.ndarray:
     return out
 
 
+def _mat_is_cutout_capable(mat, textures, texture_res) -> bool:
+    """Does this material's albedo texture contain decoded alpha < 0.9?
+    (the anyhit-cutout trigger, `devicePrograms.cu:534,543`)."""
+    if mat.albedo_texture < 0 or mat.albedo_texture >= len(textures):
+        return False
+    alpha = np.asarray(textures[mat.albedo_texture].pixels)[..., 3]
+    decoded = np.where(alpha <= 0.04045, alpha / 12.92,
+                       ((alpha + 0.055) / 1.055) ** 2.4)
+    return bool((decoded < 0.9).any())
+
+
 def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
-                  build_bvh: bool = True) -> SceneData:
+                  build_bvh: bool = True,
+                  _split_cutout: bool = True) -> SceneData:
     """Bake a Model + lights into SceneData."""
     v0s, v1s, v2s, n_list, uv_list, mat_ids = [], [], [], [], [], []
     mats = []
@@ -260,6 +286,7 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
     if build_bvh:
         tree = bvh_mod.build_bvh(v0, v1, v2)
         order = tree.tri_order
+        tri_src_np = np.asarray(order, np.int32)
         v0, v1, v2 = v0[order], v1[order], v2[order]
         normals, uvs, tri_mat = normals[order], uvs[order], tri_mat[order]
         bvh_arrays = (tree.node_min, tree.node_max, tree.node_skip,
@@ -276,6 +303,7 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
                        np.zeros((6, 0), np.float32),
                        np.zeros((3, 0), np.int32),
                        np.zeros((6, 0), np.float32))
+        tri_src_np = np.arange(t_real, dtype=np.int32)
 
     # --- pad to multiple (degenerate far-away triangles never hit)
     t_pad = -(-t_real // PAD_MULTIPLE) * PAD_MULTIPLE
@@ -324,7 +352,47 @@ def flatten_model(model: Model, lights=None, texture_res: int = TEXTURE_RES,
         light_pos = np.zeros((0, 3), np.float32)
         light_color = np.zeros((0, 3), np.float32)
 
+    # --- opaque/cutout scene split for the occlusion + closest fast paths
+    opaque_scene = cutout_sub = None
+    if _split_cutout and build_bvh and model.textures:
+        cut_flags = [_mat_is_cutout_capable(m.material, model.textures,
+                                            texture_res)
+                     for m in model.meshes]
+        cut_meshes = [m for m, f in zip(model.meshes, cut_flags) if f]
+        opq_meshes = [m for m, f in zip(model.meshes, cut_flags) if not f]
+        if cut_meshes and opq_meshes:
+            # pre-BVH triangle index ranges of each mesh in the OUTER
+            # concat order, for mapping sub-scene hits to outer ids
+            mesh_tris = [len(m.indices) for m in model.meshes]
+            starts = np.concatenate([[0], np.cumsum(mesh_tris)[:-1]])
+            outer_pre_to_post = np.full(t_real, -1, np.int32)
+            outer_pre_to_post[tri_src_np] = np.arange(t_real, dtype=np.int32)
+
+            def _sub(meshes, flags_sel):
+                sub = flatten_model(
+                    Model(meshes=meshes, textures=model.textures), [],
+                    texture_res, build_bvh, _split_cutout=False)
+                pre_map = np.concatenate(
+                    [np.arange(starts[i], starts[i] + mesh_tris[i],
+                               dtype=np.int32)
+                     for i, f in enumerate(cut_flags) if f == flags_sel]
+                ) if meshes else np.zeros(0, np.int32)
+                src = np.asarray(sub.tri_src)
+                outer_id = np.full(len(src), -1, np.int32)
+                valid = src >= 0
+                outer_id[valid] = outer_pre_to_post[pre_map[src[valid]]]
+                return sub._replace(tri_outer_id=jnp.asarray(outer_id))
+
+            opaque_scene = _sub(opq_meshes, False)
+            cutout_sub = _sub(cut_meshes, True)
+
+    tri_src_pad = np.concatenate(
+        [tri_src_np, np.full(pad, -1, np.int32)]) if pad else tri_src_np
+
     return SceneData(
+        opaque_scene=opaque_scene,
+        cutout_sub=cutout_sub,
+        tri_src=jnp.asarray(tri_src_pad),
         tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1), tri_e2=jnp.asarray(e2),
         tri_normals=jnp.asarray(normals), tri_uvs=jnp.asarray(uvs),
         tri_mat=jnp.asarray(tri_mat), tri_valid=jnp.asarray(tri_valid),
