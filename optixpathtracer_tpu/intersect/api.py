@@ -33,11 +33,22 @@ def _resolve(method: str, scene) -> str:
         return method
     n = scene.tri_v0.shape[0]
     if jax.default_backend() == "tpu":
-        # Measured on v5e: the dense Pallas sweep beats the vmapped
-        # while-loop BVH by ~45x at 20k tris (gather-heavy divergent
-        # traversal is pathological on TPU). Large scenes route to the
-        # hierarchical walk kernel (block-level skip-link BVH traversal +
-        # per-leaf DMA sweep); small ones stay dense.
+        # Measured crossover table on v5e (65k-ray wavefronts, Mrays/s;
+        # WALK_BENCH.json r3/r4 + tri_scaling):
+        #
+        #   tris   | dense | walk | packet |   regime
+        #   10k    | 6.7   |  -   |   -    | dense wins (few chunks)
+        #   100k   | 2.4   | 2.4  | 1.4    | walk == dense, keep walk
+        #   1M pri | 0.45  | 0.59 | 0.71   | packet best, walk close
+        #   1M rnd | 1.2   | 2.8  | 1.0    | walk best incoherent
+        #
+        # The dense sweep also beats the vmapped while-loop BVH by ~45x
+        # at 20k tris (gather-heavy divergent traversal is pathological
+        # on TPU). Routing: small scenes dense; everything else walk -
+        # it is never materially worse than packet on primaries and
+        # clearly better on incoherent bounce wavefronts, which dominate
+        # a full render. 'packet' stays available for coherent
+        # primary-heavy workloads at >=1M tris.
         if (scene.walk_tris.shape[0] >= WALK_MIN_CHUNKS):
             return "walk"
         return "pallas"
