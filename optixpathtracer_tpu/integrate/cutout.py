@@ -126,11 +126,15 @@ def intersect_closest_cutout(scene, o, d, tmin=0.0, tmax=100.0,
                             best_id)
 
         sub_hit = best_id >= 0
-        sub_wins = sub_hit & (~h_o.hit | (best_t < h_o.t))
         n_sub = sub.tri_outer_id.shape[0]
         sub_outer = sub.tri_outer_id[jnp.clip(best_id, 0, n_sub - 1)]
         n_opq = opq.tri_outer_id.shape[0]
         opq_outer = opq.tri_outer_id[jnp.clip(h_o.tri_id, 0, n_opq - 1)]
+        # t-ties between an opaque hit and a coincident solid cutout-subset
+        # hit break toward the lower OUTER triangle id, matching the legacy
+        # full-scene chain (and the brute oracle's lowest-id winner)
+        sub_wins = sub_hit & (~h_o.hit | (best_t < h_o.t)
+                              | ((best_t == h_o.t) & (sub_outer < opq_outer)))
         final_id = jnp.where(sub_wins, sub_outer,
                              jnp.where(h_o.hit, opq_outer, -1))
         final_hit = sub_wins | h_o.hit

@@ -34,21 +34,25 @@ def _resolve(method: str, scene) -> str:
     n = scene.tri_v0.shape[0]
     if jax.default_backend() == "tpu":
         # Measured crossover table on v5e (65k-ray wavefronts, Mrays/s;
-        # WALK_BENCH.json r3/r4 + tri_scaling):
+        # WALK_BENCH.json r3/r4 dense_baseline + rounds + r4_packet):
         #
-        #   tris   | dense | walk | packet |   regime
-        #   10k    | 6.7   |  -   |   -    | dense wins (few chunks)
-        #   100k   | 2.4   | 2.4  | 1.4    | walk == dense, keep walk
-        #   1M pri | 0.45  | 0.59 | 0.71   | packet best, walk close
-        #   1M rnd | 1.2   | 2.8  | 1.0    | walk best incoherent
+        #   tris   | dense | walk | rs32 | packet |   regime
+        #   10k    | 6.7   |  -   |  -   |   -    | dense wins (few chunks)
+        #   100k   | 2.4   | 2.4  |  -   | 1.4    | walk == dense, keep walk
+        #   1M pri | 0.45  | 0.59 |0.59  | 0.71   | packet best, walk close
+        #   1M rnd | 1.2   | 1.24 |6.63  | 1.0    | rs32 walk best incoherent
+        #
+        # ('rs32' = the walk kernel with OPT_WALK_RAY_SUB=32, i.e.
+        # 4096-ray blocks: incoherent blocks see near-whole-scene
+        # candidate unions at ANY block size, so the bigger block wins
+        # back traversal/dispatch amortization - WALK_BENCH.json
+        # r3_walk_rs32_variant.)
         #
         # The dense sweep also beats the vmapped while-loop BVH by ~45x
         # at 20k tris (gather-heavy divergent traversal is pathological
-        # on TPU). Routing: small scenes dense; everything else walk -
-        # it is never materially worse than packet on primaries and
-        # clearly better on incoherent bounce wavefronts, which dominate
-        # a full render. 'packet' stays available for coherent
-        # primary-heavy workloads at >=1M tris.
+        # on TPU). Routing: small scenes dense; everything else walk.
+        # 'packet' stays available for coherent primary-heavy workloads
+        # at >=1M tris.
         if (scene.walk_tris.shape[0] >= WALK_MIN_CHUNKS):
             return "walk"
         return "pallas"

@@ -25,9 +25,10 @@ Pipeline (reusing the walk kernel's front half):
      would be 128x more scalar work).
   2. Between kernels (plain jnp): conservative interval slab tests of
      each packet's 8-ray bounds against every union SUBCHUNK AABB,
-     compacted (cumsum scatter, no sort) into per-packet candidate LISTS
-     in sorted-union order. Packets overflowing the list capacity fall
-     back to sweeping the full union (correct, rare: count sentinel -1).
+     bit-packed (_packet_words) into per-packet subchunk MASKS over the
+     sorted union - the sweep kernel skims the mask words and visits only
+     set bits, in sorted-union order. Union chunks past the DMA ring
+     capacity (j >= cap) are swept unconditionally (correct, rare).
   3. Sweep kernel, grid = (ray blocks,): per block the union chunks are
      DMA'd HBM->VMEM once (shared by all 128 packets), the packet lists
      land in SMEM, and a fori loop over the 128 packets sweeps each

@@ -67,11 +67,12 @@ def _read_accessor(doc, buffers, acc_idx):
     elem_bytes = dtype.itemsize * n_comp
     if stride in (0, elem_bytes):
         arr = np.frombuffer(raw, dtype, count * n_comp, offset)
-    else:  # interleaved
-        out = np.empty((count, n_comp), dtype)
-        for i in range(count):
-            out[i] = np.frombuffer(raw, dtype, n_comp, offset + i * stride)
-        arr = out
+    else:  # interleaved: strided byte view over the window, one copy
+        window = np.frombuffer(raw, np.uint8,
+                               (count - 1) * stride + elem_bytes, offset)
+        rows = np.lib.stride_tricks.as_strided(
+            window, shape=(count, elem_bytes), strides=(stride, 1))
+        arr = np.ascontiguousarray(rows).view(dtype)
     return arr.reshape(count, n_comp) if n_comp > 1 else arr.reshape(count)
 
 

@@ -192,3 +192,111 @@ def test_flatten_detects_cutout_and_renders(model):
     img_opaque = np.asarray(render(scene, cam, 32, 32, spp=2, max_bounces=2,
                                    use_alpha_cutout=False))
     assert np.abs(img - img_opaque).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Sponza-class scale: a >=100k-vertex interleaved textured .glb must load in
+# interactive time (the round-4 per-vertex accessor loop took minutes here;
+# the strided view takes milliseconds). Reference domain: the Sponza scenes
+# `main.cpp:21-45` through `ModelLoader.cpp`.
+# ---------------------------------------------------------------------------
+
+def build_big_glb(path: str, n: int = 316) -> None:
+    """Terrain grid: (n+1)^2 interleaved P3N3UV2 vertices (stride 32),
+    2*n^2 uint32-indexed triangles, one embedded opaque PNG texture.
+    n=316 -> 100,489 vertices / 199,712 triangles."""
+    xs = np.linspace(-5.0, 5.0, n + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    gy = (np.sin(gx) * np.cos(gz) * 0.3).astype(np.float32)
+    pos = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (len(pos), 1))
+    uv = np.stack([(gx + 5) / 10, (gz + 5) / 10], -1).reshape(-1, 2)
+    inter = np.concatenate([pos, nrm, uv], 1).astype(np.float32)  # [V, 8]
+    inter_bytes = inter.tobytes()
+
+    ii = (np.arange(n)[:, None] * (n + 1) + np.arange(n)[None, :])
+    quads = np.stack([ii, ii + 1, ii + n + 2, ii, ii + n + 2, ii + n + 1],
+                     -1).reshape(-1).astype(np.uint32)
+    idx_bytes = _align4(quads.tobytes())
+
+    tex = np.full((16, 16, 4), 200, np.uint8)
+    tex[..., 3] = 255
+    png = _align4(_png_bytes(tex))
+
+    bin_chunk = inter_bytes + idx_bytes + png
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": len(inter_bytes),
+         "byteStride": 32, "target": 34962},
+        {"buffer": 0, "byteOffset": len(inter_bytes),
+         "byteLength": len(quads.tobytes()), "target": 34963},
+        {"buffer": 0, "byteOffset": len(inter_bytes) + len(idx_bytes),
+         "byteLength": len(png)},
+    ]
+    accessors = [
+        {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+         "count": len(pos), "type": "VEC3",
+         "min": [-5.0, -0.3, -5.0], "max": [5.0, 0.3, 5.0]},
+        {"bufferView": 0, "byteOffset": 12, "componentType": 5126,
+         "count": len(pos), "type": "VEC3"},
+        {"bufferView": 0, "byteOffset": 24, "componentType": 5126,
+         "count": len(pos), "type": "VEC2"},
+        {"bufferView": 1, "componentType": 5125, "count": len(quads),
+         "type": "SCALAR"},
+    ]
+    doc = {
+        "asset": {"version": "2.0", "generator": "hand-rolled scale asset"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"name": "terrain", "mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3, "material": 0}]}],
+        "materials": [{"name": "ground", "pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.0, "roughnessFactor": 1.0},
+            "extras": {"mat_type": "diffuse"}}],
+        "textures": [{"source": 0}],
+        "images": [{"bufferView": 2, "mimeType": "image/png"}],
+        "accessors": accessors,
+        "bufferViews": views,
+        "buffers": [{"byteLength": len(bin_chunk)}],
+    }
+    json_chunk = _align4(json.dumps(doc).encode(), b" ")
+    total = 12 + 8 + len(json_chunk) + 8 + len(bin_chunk)
+    with open(path, "wb") as f:
+        f.write(b"glTF" + struct.pack("<II", 2, total))
+        f.write(struct.pack("<II", len(json_chunk), 0x4E4F534A))
+        f.write(json_chunk)
+        f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))
+        f.write(bin_chunk)
+
+
+def test_sponza_scale_interleaved_load_and_render(tmp_path):
+    import time
+
+    path = str(tmp_path / "terrain.glb")
+    build_big_glb(path)
+
+    t0 = time.time()
+    big = load_gltf(path)
+    load_s = time.time() - t0
+    mesh = big.meshes[0]
+    assert len(mesh.positions) == 100489
+    assert mesh.indices.shape == (199712, 3)
+    # interleaved accessors decoded correctly: spot-check first/last verts
+    np.testing.assert_allclose(mesh.positions[0], [-5.0, np.sin(-5.0)
+                               * np.cos(-5.0) * 0.3, -5.0], atol=1e-6)
+    np.testing.assert_allclose(mesh.uvs[-1], [1.0, 1.0], atol=1e-6)
+    # the load-time bar from VERDICT r4 item 6 (was minutes pre-vectorize)
+    assert load_s < 1.0, f"interleaved load took {load_s:.2f}s"
+
+    lights = [PointLight(np.array([0.0, 6.0, 0.0]), np.ones(3) * 40.0)]
+    scene = flatten_model(big, lights)
+    assert int(np.asarray(scene.tri_valid).sum()) == 199712
+
+    from optixpathtracer_tpu.integrate import render
+    from optixpathtracer_tpu.camera import Camera
+    cam = Camera(position=np.array([0.0, 4.0, 6.0]),
+                 rotation=np.array([60.0, 180.0, 0.0]))
+    img = np.asarray(render(scene, cam, 16, 16, spp=1, max_bounces=2))
+    assert np.isfinite(img).all() and img.max() > 0.0
