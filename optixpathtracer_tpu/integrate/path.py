@@ -265,12 +265,18 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
         # Dead lanes trace with tmax=-1: they can't hit anything, and the
         # Pallas cluster tests cull their whole blocks for free.
         ray_tmax = jnp.where(alive, RAY_TMAX, -1.0) if _bounce else RAY_TMAX
+        # Secondary bounces carry the "auto:bounce" routing hint: incoherent
+        # wavefronts route to the per-packet engine on big scenes
+        # (intersect/api.py _resolve).
+        closest_method = ("auto:bounce" if _bounce
+                          and intersect_method == "auto"
+                          else intersect_method)
         if use_alpha_cutout:
             hit = intersect_closest_cutout(scene, o, d, 0.0, ray_tmax,
-                                           method=intersect_method)
+                                           method=closest_method)
         else:
             hit = intersect_closest(scene, o, d, 0.0, ray_tmax,
-                                    method=intersect_method)
+                                    method=closest_method)
         # miss -> background is black; path dies with radiance unchanged
         alive = alive & hit.hit
 

@@ -28,7 +28,22 @@ BRUTE_FORCE_MAX_TRIS = 2048
 WALK_MIN_CHUNKS = 8
 
 
+PACKET_BOUNCE_MIN_CHUNKS = 512  # scenes with fewer walk chunks keep the
+                                # walk sweep even for bounce wavefronts
+                                # (per-packet overheads beat the union
+                                # savings on small candidate sets)
+
+
 def _resolve(method: str, scene) -> str:
+    # "auto:bounce" = auto routing with the hint that this wavefront is a
+    # secondary-bounce one (incoherent directions). Measured on hall
+    # (338k tris, benchmarks/hall_engines.py r5): per-1024-ray-block
+    # candidate unions are ~49x the per-ray need on bounce wavefronts, so
+    # the per-8-ray-packet engine wins 3.2x there (162->51 ms closest),
+    # while primaries stay with the whole-block walk sweep (33 vs 36 ms).
+    bounce = method == "auto:bounce"
+    if bounce:
+        method = "auto"
     if method != "auto":
         return method
     n = scene.tri_v0.shape[0]
@@ -54,6 +69,9 @@ def _resolve(method: str, scene) -> str:
         # 'packet' stays available for coherent primary-heavy workloads
         # at >=1M tris.
         if (scene.walk_tris.shape[0] >= WALK_MIN_CHUNKS):
+            if bounce and scene.walk_tris.shape[0] >= \
+                    PACKET_BOUNCE_MIN_CHUNKS:
+                return "packet"
             return "walk"
         return "pallas"
     return "brute" if n <= BRUTE_FORCE_MAX_TRIS else "bvh"
@@ -101,9 +119,10 @@ def _refine(scene, o, d, hit: Hit, tmax):
 
 def intersect_closest(scene, o, d, tmin=0.0, tmax=100.0, method="auto"):
     """Closest-hit query with differentiable refinement. method in
-    {'auto', 'brute', 'bvh', 'pallas', 'walk', 'packet'} ('auto' routes
-    per backend and scene size, see _resolve; 'packet' is the opt-in
-    per-8-ray-packet sweep engine)."""
+    {'auto', 'auto:bounce', 'brute', 'bvh', 'pallas', 'walk', 'packet'}
+    ('auto' routes per backend and scene size; 'auto:bounce' additionally
+    hints an incoherent secondary-bounce wavefront, routing big scenes to
+    the per-8-ray-packet engine - see _resolve)."""
     engine = _engine(_resolve(method, scene))
     o_det = jax.lax.stop_gradient(o)
     d_det = jax.lax.stop_gradient(d)

@@ -23,11 +23,13 @@ Pipeline (reusing the walk kernel's front half):
      1024-ray block, the candidate chunk union sorted front-to-back. This
      amortizes the scalar-core BVH walk over 1024 rays (a per-packet walk
      would be 128x more scalar work).
-  2. Between kernels (plain jnp): conservative interval slab tests of
-     each packet's 8-ray bounds against every union SUBCHUNK AABB,
+  2. Between kernels (plain jnp): EXACT per-ray slab tests against every
+     union SUBCHUNK AABB, OR-reduced over each packet's 8 rays and
      bit-packed (_packet_words) into per-packet subchunk MASKS over the
      sorted union - the sweep kernel skims the mask words and visits only
-     set bits, in sorted-union order. Union chunks past the DMA ring
+     set bits, in sorted-union order. (Round 4 used a conservative 8-ray
+     interval test here; on incoherent wavefronts it passed nearly
+     everything - see _packet_words.) Union chunks past the DMA ring
      capacity (j >= cap) are swept unconditionally (correct, rare).
   3. Sweep kernel, grid = (ray blocks,): per block the union chunks are
      DMA'd HBM->VMEM once (shared by all 128 packets), the packet lists
@@ -370,7 +372,7 @@ def _make_packet_any_kernel(chunk: int, cap: int, maxc_pad: int,
 # Host wrappers
 # ---------------------------------------------------------------------------
 
-def _prep_rays_packet(o, d, tmin, tmax, n_chunks, chunk, n_nodes):
+def _prep_rays_packet(o, d, tmin, tmax, n_chunks, chunk):
     """Two ray layouts from one padded wavefront:
 
       * traversal planes [g*8, 128] row-major (ray = row*128 + lane), the
@@ -382,7 +384,7 @@ def _prep_rays_packet(o, d, tmin, tmax, n_chunks, chunk, n_nodes):
     r = o.shape[0]
     block = PACKET * LANES
     n_blocks = pl.cdiv(r, block)
-    g = _group_size(n_blocks, n_chunks, chunk, n_nodes)
+    g = _group_size(n_blocks, n_chunks, chunk)
     n_groups = pl.cdiv(n_blocks, g)
     r_pad = n_groups * g * block
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -413,14 +415,27 @@ def _prep_rays_packet(o, d, tmin, tmax, n_chunks, chunk, n_nodes):
     return trav, rall, r, g, n_groups
 
 
+_MASK_TILE = 512  # subchunks per exact-mask tile (bounds the [g,8,128,T]
+                  # broadcast intermediates to tens of MB)
+
+
 def _packet_words(scene, rall_g, cand, tnear, g, maxc_pad):
     """Per-packet candidate bit masks at SUBCHUNK grain (jnp, between the
-    kernels): conservative interval slab test of each packet's 8-ray
-    bounds against every union subchunk AABB (walk_sub_box), bit-packed
-    32/int32 word in sorted-union order (s = j * n_sub + k). Returns
-    (words int32 [g, 128, words_n], w0, w1 int32 [g, 128] = first/last
-    nonzero word per packet, so the kernel's word loop skips empty
-    spans)."""
+    kernels): EXACT per-ray slab tests against every union subchunk AABB
+    (walk_sub_box), OR-reduced over the 8 rays of each packet and
+    bit-packed 32/int32 word in sorted-union order (s = j * n_sub + k).
+
+    Round 5 change: the round-4 version used a conservative interval test
+    of the packet's 8-ray bounds, which on incoherent bounce wavefronts
+    (8 near-random directions) degenerates to 'pass everything' - measured
+    hall bounce blocks swept 312 of 1322 chunks vs a per-ray exact need
+    of 6.4 (benchmarks/hall_stats.py). Exact tests cost ~25 VPU flops per
+    (ray, subchunk) - a few ms - and collapse the sweep to near the
+    packet-exact floor.
+
+    Returns (words int32 [g, 128, words_n], w0, w1 int32 [g, 128] =
+    first/last nonzero word per packet, so the kernel's word loop skips
+    empty spans)."""
     chunk = scene.walk_tris.shape[2]
     n_sub = chunk // LANES
     rall = rall_g.reshape(g, _RAY_PAD, PACKET, LANES)
@@ -430,54 +445,57 @@ def _packet_words(scene, rall_g, cand, tnear, g, maxc_pad):
     tmax = rall[:, 10]
     valid = tmax >= 0.0
 
-    def pmin(x, fill):
-        return jnp.min(jnp.where(valid[:, None], x, fill), axis=2)
-
-    def pmax(x, fill):
-        return jnp.max(jnp.where(valid[:, None], x, fill), axis=2)
-
-    o_lo, o_hi = pmin(o, BIG), pmax(o, -BIG)          # [g, 3, 128]
-    i_lo, i_hi = pmin(inv, BIG), pmax(inv, -BIG)
-    t0_lo = jnp.min(jnp.where(valid, tmin, BIG), axis=1)   # [g, 128]
-    t1_hi = jnp.max(jnp.where(valid, tmax, -BIG), axis=1)
-
     # subchunk AABBs in sorted-union order: sub id = cand * n_sub + k
     c = scene.walk_tris.shape[0]
     sub_ids = (jnp.clip(cand, 0, c - 1)[:, :, None] * n_sub
                + jnp.arange(n_sub)[None, None, :]).reshape(g, -1)
     sb = scene.walk_sub_box                      # [6, C * n_sub]
-    bn = [sb[row][sub_ids] for row in range(3)]  # each [g, maxc*n_sub]
-    bx = [sb[row + 3][sub_ids] for row in range(3)]
+    bn = jnp.stack([sb[row][sub_ids] for row in range(3)], 1)  # [g, 3, S]
+    bx = jnp.stack([sb[row + 3][sub_ids] for row in range(3)], 1)
+    pad_cand = jnp.repeat(tnear >= BIG, n_sub, axis=1)  # [g, S]
 
-    t_near = jnp.full((g, LANES, maxc_pad * n_sub), -BIG, jnp.float32)
-    t_far = jnp.full((g, LANES, maxc_pad * n_sub), BIG, jnp.float32)
-    for ax in range(3):
-        prods = []
-        for b in (bn[ax][:, None, :], bx[ax][:, None, :]):
-            for oo in (o_lo[:, ax][..., None], o_hi[:, ax][..., None]):
-                for ii in (i_lo[:, ax][..., None], i_hi[:, ax][..., None]):
-                    prods.append((b - oo) * ii)
-        axis_lo = prods[0]
-        axis_hi = prods[0]
-        for p in prods[1:]:
-            axis_lo = jnp.minimum(axis_lo, p)
-            axis_hi = jnp.maximum(axis_hi, p)
-        t_near = jnp.maximum(t_near, axis_lo)
-        t_far = jnp.minimum(t_far, axis_hi)
-
-    pad_cand = jnp.repeat(tnear >= BIG, n_sub, axis=1)  # [g, maxc*n_sub]
-    ok = ((t_near <= t_far) & (t_far >= t0_lo[..., None])
-          & (t_near <= t1_hi[..., None]) & (~pad_cand[:, None, :]))
-
-    # bit-pack along subchunks (pure elementwise - a scatter-based
-    # compaction here cost more than the sweep it fed), padded to a
-    # lane-aligned word count
     s_total = maxc_pad * n_sub
     w_real = s_total // 32
     words_n = pl.cdiv(max(LANES, w_real), LANES) * LANES  # lane-aligned
-    bits = ok.reshape(g, LANES, w_real, 32).astype(jnp.uint32)
+    tile = min(_MASK_TILE, s_total)
+    s_pad = pl.cdiv(s_total, tile) * tile
+    if s_pad != s_total:
+        padw = s_pad - s_total
+        bn = jnp.pad(bn, ((0, 0), (0, 0), (0, padw)))
+        bx = jnp.pad(bx, ((0, 0), (0, 0), (0, padw)))
+        pad_cand = jnp.pad(pad_cand, ((0, 0), (0, padw)),
+                           constant_values=True)
     shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    words = jnp.sum(bits * shifts, axis=3, dtype=jnp.uint32)
+
+    def one_tile(s0):
+        bn_t = jax.lax.dynamic_slice_in_dim(bn, s0, tile, 2)
+        bx_t = jax.lax.dynamic_slice_in_dim(bx, s0, tile, 2)
+        pc_t = jax.lax.dynamic_slice_in_dim(pad_cand, s0, tile, 1)
+        t_near = jnp.full((g, PACKET, LANES, tile), -BIG, jnp.float32)
+        t_far = jnp.full((g, PACKET, LANES, tile), BIG, jnp.float32)
+        for ax in range(3):
+            oo = o[:, ax][..., None]        # [g, 8, 128, 1]
+            ii = inv[:, ax][..., None]
+            b0 = bn_t[:, ax][:, None, None, :]   # [g, 1, 1, T]
+            b1 = bx_t[:, ax][:, None, None, :]
+            p0 = (b0 - oo) * ii
+            p1 = (b1 - oo) * ii
+            t_near = jnp.maximum(t_near, jnp.minimum(p0, p1))
+            t_far = jnp.minimum(t_far, jnp.maximum(p0, p1))
+        ok = ((t_near <= t_far) & (t_far >= tmin[..., None])
+              & (t_near <= tmax[..., None]) & valid[..., None]
+              & ~pc_t[:, None, None, :])
+        ok = jnp.any(ok, axis=1)            # OR over the packet's 8 rays
+        bits = ok.reshape(g, LANES, tile // 32, 32).astype(jnp.uint32)
+        return jnp.sum(bits * shifts, axis=3, dtype=jnp.uint32)
+
+    if s_pad == tile:
+        words = one_tile(0)
+    else:
+        tiles = jax.lax.map(one_tile,
+                            jnp.arange(0, s_pad, tile, dtype=jnp.int32))
+        words = jnp.moveaxis(tiles, 0, 2).reshape(g, LANES, s_pad // 32)
+    words = words[:, :, :w_real]
     if w_real < words_n:
         words = jnp.pad(words, ((0, 0), (0, 0), (0, words_n - w_real)))
     nz = words != 0
@@ -560,7 +578,7 @@ def intersect_closest_raw(scene, o, d, tmin=0.0, tmax=100.0):
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
     _, n_chunks, chunk = _chunk_boxes(scene)
     trav, rall, r, g, n_groups = _prep_rays_packet(
-        o, d, tmin, tmax, n_chunks, chunk, scene.walk_node_box.shape[1])
+        o, d, tmin, tmax, n_chunks, chunk)
 
     def one_group(args):
         trav_g, rall_g = args
@@ -610,7 +628,7 @@ def intersect_any(scene, o, d, tmin=0.0, tmax=100.0):
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
     _, n_chunks, chunk = _chunk_boxes(scene)
     trav, rall, r, g, n_groups = _prep_rays_packet(
-        o, d, tmin, tmax, n_chunks, chunk, scene.walk_node_box.shape[1])
+        o, d, tmin, tmax, n_chunks, chunk)
 
     def one_group(args):
         trav_g, rall_g = args

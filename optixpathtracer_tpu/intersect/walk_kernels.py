@@ -5,19 +5,19 @@ The TPU-native replacement for the reference's hardware RT-core traversal
 for large scenes, where the dense cluster-culled sweep
 (intersect/pallas_kernels.py) degrades to O(#chunks) per ray block.
 
-Two-kernel "block traversal, lane intersection" design:
+Two-phase "block candidates, lane intersection" design:
 
-  1. **Traversal kernel** (grid over ray blocks): walks the SMEM-resident
-     chunk-level skip-link BVH (scene/bvh.py `build_chunk_bvh`, leaf = one
-     128..1024-triangle chunk) with a scalar `lax.while_loop`. Each node's
-     AABB is slab-tested against the whole [RAY_SUB, 128] ray block bounded
-     by tmax and reduced to one scalar "any ray can hit"; inner-node hit
-     descends (i+1), miss/leaf follows the skip link. Surviving leaves'
-     chunk ids are appended to a per-block candidate list (SMEM output)
-     together with the block-conservative AABB entry distance t_near.
-  2. Between the kernels (plain jnp, on device): each block's candidate
-     list is **sorted front-to-back** by t_near.
-  3. **Sweep kernel** (grid over ray blocks): a scalar `while_loop` over
+  1. **Candidate phase** (plain jnp, on device - `_candidates`): EXACT
+     per-ray slab tests of every ray against every chunk AABB, dense on
+     the VPU, OR-reduced to per-block candidate unions and **sorted
+     front-to-back** by conservative entry distance. (Rounds 2-4 walked
+     the chunk-level skip-link BVH with a scalar-core Pallas kernel here;
+     the dense exact test is both faster - the serial walk cost 12-31 ms
+     per 65k wavefront vs 1-3 ms dense - and tighter, since interval
+     frustum tests over-admit on incoherent blocks. The chunk BVH
+     (scene/bvh.py) still defines the spatially-coherent triangle
+     layout.)
+  2. **Sweep kernel** (grid over ray blocks): a scalar `while_loop` over
      the candidate list, fetching each candidate chunk's triangles from
      HBM with a double-buffered `make_async_copy` DMA into SMEM scratch
      and sweeping them with the scalar-broadcast Moller-Trumbore from
@@ -29,8 +29,8 @@ Two-kernel "block traversal, lane intersection" design:
      per-chunk when no ray in the block can improve on them.
 
 The sweep does O(candidates actually needed) work per block - there is no
-dense grid over chunk slots, so scene size only enters through the BVH walk
-and the chunk fetches a block really needs.
+dense grid over chunk slots, so scene size only enters through the chunk
+tests and the chunk fetches a block really needs.
 
 Block aggregation means incoherent ray blocks keep the union of their
 candidates; pair with the octant/Morton binning in integrate/path.py for
@@ -55,162 +55,11 @@ RAY_SUB = int(_os.environ.get("OPT_WALK_RAY_SUB", "8"))
 # sublanes per walk ray block (8 -> 1024 rays). Smaller than the dense
 # kernel's 32: a block's traversal work is the UNION of its rays' needs,
 # so narrower cones cut candidates/ray; [8, 128] is the native VPU tile.
-HYBRID_NODE_TEST = _os.environ.get("OPT_WALK_HYBRID", "0") == "1"
-# scalar interval pre-filter before the exact VPU node test; measured
-# slower than the exact test alone on v5e (scf.if scalar<->vector sync
-# stalls), kept behind the env flag for future hardware
-
 _N_RAY = 11  # ox oy oz dx dy dz inv_dx inv_dy inv_dz tmin tmax
 _N_BOX = 6
 EPS_DET = 1e-12
 _DMA_DEPTH = 4  # chunk-fetch ring slots in the sweep kernels
 _DMA_AHEAD = 3  # candidates prefetched ahead of the sweep pointer
-
-
-def _node_test(rays, node_box, i, limit):
-    """Slab-test the ray block against node i's AABB (SMEM scalar reads),
-    bounded per-ray by `limit`. Returns (scalar 'any ray can hit', scalar
-    conservative entry distance = min over hitting rays of t_near)."""
-    ox, oy, oz = rays[0][:], rays[1][:], rays[2][:]
-    idx, idy, idz = rays[6][:], rays[7][:], rays[8][:]
-    tmin = rays[9][:]
-    bnx, bny, bnz = node_box[0, i], node_box[1, i], node_box[2, i]
-    bxx, bxy, bxz = node_box[3, i], node_box[4, i], node_box[5, i]
-
-    tx0 = (bnx - ox) * idx
-    tx1 = (bxx - ox) * idx
-    ty0 = (bny - oy) * idy
-    ty1 = (bxy - oy) * idy
-    tz0 = (bnz - oz) * idz
-    tz1 = (bxz - oz) * idz
-    t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                     jnp.minimum(ty0, ty1)),
-                         jnp.minimum(tz0, tz1))
-    t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                    jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1))
-    can_hit = (t_near <= t_far) & (t_far >= tmin) & (t_near <= limit)
-    entry = jnp.min(jnp.where(can_hit, jnp.maximum(t_near, 0.0), BIG))
-    return jnp.max(can_hit.astype(jnp.int32)) > 0, entry
-
-
-# ---------------------------------------------------------------------------
-# Kernel 1: chunk-BVH traversal -> per-block candidate chunk list + t_near
-# ---------------------------------------------------------------------------
-
-def _make_traverse_kernel(n_nodes: int, maxc_pad: int):
-    # NOTE: cand/tnear/count SMEM outputs are mapped as ONE whole-array
-    # block (constant index map) revisited by every grid step, with rows
-    # indexed by program_id inside the kernel - Mosaic rejects (1, N)
-    # blocks over a (g, N) SMEM array (sublane dim must be 8-divisible or
-    # whole).
-    #
-    # The per-node test is a conservative INTERVAL (frustum) slab test
-    # against the block's ray bounds - 14 scalars reduced once per block -
-    # so the serial BVH walk runs entirely on the scalar core (~60 scalar
-    # ops/node) instead of issuing a [RAY_SUB, 128] VPU slab test per node
-    # (Reshetov-style packet culling; the coherence sort makes the bounds
-    # tight). Exact per-ray culling happens later in the sweep's cluster
-    # test.
-    def kernel(*refs):
-        rays = refs[:_N_RAY]
-        node_box = refs[_N_RAY]
-        node_link = refs[_N_RAY + 1]
-        cand_ref, tnear_ref, count_ref = refs[_N_RAY + 2:]
-        blk = pl.program_id(0)
-
-        tmax = rays[10][:]
-        valid = tmax >= 0.0  # padding rays carry tmax = -1
-
-        def vmin(p, fill):
-            return jnp.min(jnp.where(valid, p[:], fill))
-
-        def vmax(p, fill):
-            return jnp.max(jnp.where(valid, p[:], fill))
-
-        o_lo = [vmin(rays[k], BIG) for k in range(3)]
-        o_hi = [vmax(rays[k], -BIG) for k in range(3)]
-        id_lo = [vmin(rays[6 + k], BIG) for k in range(3)]
-        id_hi = [vmax(rays[6 + k], -BIG) for k in range(3)]
-        tmin_lo = vmin(rays[9], BIG)
-        tmax_hi = vmax(rays[10], -BIG)
-
-        def axis_interval(bn, bx, k):
-            """Conservative [entry_lo, exit_hi] of the slab on axis k over
-            every ray in the block (8 corner products)."""
-            products = []
-            for b in (bn, bx):
-                for o in (o_lo[k], o_hi[k]):
-                    for i_ in (id_lo[k], id_hi[k]):
-                        products.append((b - o) * i_)
-            lo = products[0]
-            hi = products[0]
-            for t in products[1:]:
-                lo = jnp.minimum(lo, t)
-                hi = jnp.maximum(hi, t)
-            return lo, hi
-
-        def interval_test(i):
-            lo0, hi0 = axis_interval(node_box[0, i], node_box[3, i], 0)
-            lo1, hi1 = axis_interval(node_box[1, i], node_box[4, i], 1)
-            lo2, hi2 = axis_interval(node_box[2, i], node_box[5, i], 2)
-            t_near = jnp.maximum(jnp.maximum(lo0, lo1), lo2)
-            t_far = jnp.minimum(jnp.minimum(hi0, hi1), hi2)
-            return ((t_near <= t_far) & (t_far >= tmin_lo)
-                    & (t_near <= tmax_hi))
-
-        def cond(state):
-            i, _ = state
-            return i < n_nodes
-
-        def body(state):
-            i, n_found = state
-            is_leaf = node_link[2, i] == 1
-            skip = node_link[0, i]
-            # Hybrid test: the scalar interval reject is ~10x cheaper than
-            # the [RAY_SUB, 128] VPU slab test but (measured) ~4x looser;
-            # running the exact test only on interval-passing nodes gets
-            # scalar-speed traversal with exact-tight candidate lists.
-            if HYBRID_NODE_TEST:
-                pre = interval_test(i)
-
-                def _exact():
-                    h, e = _node_test(rays, node_box, i, tmax)
-                    return h.astype(jnp.int32), e
-
-                # (int32 payload: Mosaic's scf.if rejects i1 yields)
-                any_i, entry = jax.lax.cond(pre, _exact,
-                                            lambda: (jnp.int32(0), BIG))
-                any_hit = any_i > 0
-            else:
-                any_hit, entry = _node_test(rays, node_box, i, tmax)
-            found = any_hit & is_leaf
-
-            @pl.when(found)
-            def _append():
-                cand_ref[blk, n_found] = node_link[1, i]
-                tnear_ref[blk, n_found] = entry
-
-            nxt = jnp.where(any_hit & (~is_leaf), i + 1, skip)
-            return nxt, n_found + found.astype(jnp.int32)
-
-        _, n_found = jax.lax.while_loop(cond, body, (jnp.int32(0),
-                                                     jnp.int32(0)))
-        count_ref[blk, 0] = n_found
-
-        # Pad the tail: chunk 0 with t_near = +BIG, so the host-side sort
-        # keeps real candidates in front and the sweep's count bound never
-        # reads the tail anyway.
-        def pad_body(k, _):
-            @pl.when(k >= n_found)
-            def _w():
-                cand_ref[blk, k] = 0
-                tnear_ref[blk, k] = BIG
-            return 0
-
-        jax.lax.fori_loop(0, maxc_pad, pad_body, 0)
-
-    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -514,7 +363,7 @@ def _coherence_perm(scene, o, d):
 
 
 GROUP_BLOCKS = 32  # max ray blocks per pallas call; the candidate table
-                   # (g * maxc_pad * 8 bytes) the traversal kernel keeps
+                   # (g * maxc_pad * 8 bytes) the sweep kernel keeps
                    # whole in SMEM caps it further (_group_size); bigger
                    # wavefronts lax.map over groups.
 _SMEM_CAND_BUDGET = 192 * 1024  # bytes of SMEM granted to cand+tnear
@@ -525,36 +374,32 @@ _SMEM_TOTAL_BUDGET = 512 * 1024  # conservative per-kernel SMEM envelope:
                                  # Mosaic with an allocation error
 
 
-def _group_size(n_blocks, n_chunks, chunk=0, n_nodes=0):
+def _group_size(n_blocks, n_chunks, chunk=0):
     """Ray blocks per pallas call, bounded so the WHOLE per-kernel SMEM
     footprint fits _SMEM_TOTAL_BUDGET - not just the cand/tnear table:
     the sweep kernel also holds 6 chunk-box rows (24 B/chunk) and the
-    [_DMA_DEPTH, 16, chunk] f32 DMA scratch, and the traversal kernel
-    holds the node box+link arrays (36 B/node)."""
+    [_DMA_DEPTH, 16, chunk] f32 DMA scratch."""
     maxc_pad = pl.cdiv(max(n_chunks, 1), LANES) * LANES
     per_g = maxc_pad * 8 + LANES * 4          # cand + tnear + count row
-    fixed_sweep = n_chunks * _N_BOX * 4 + _DMA_DEPTH * 16 * chunk * 4
-    n_nodes_pad = pl.cdiv(max(n_nodes, 1), LANES) * LANES
-    fixed_trav = n_nodes_pad * 9 * 4          # box (6) + link (3) rows
-    fixed = max(fixed_sweep, fixed_trav)
+    fixed = n_chunks * _N_BOX * 4 + _DMA_DEPTH * 16 * chunk * 4
     if fixed + per_g > _SMEM_TOTAL_BUDGET:
         raise ValueError(
             f"walk kernel SMEM footprint {fixed + per_g} B exceeds the "
             f"{_SMEM_TOTAL_BUDGET} B budget even at one block/group "
-            f"({n_chunks} chunks x {chunk} tris, {n_nodes} nodes); "
+            f"({n_chunks} chunks x {chunk} tris); "
             "lower scene/flatten.py MAX_WALK_CHUNKS or the chunk size")
     g_cap = max(1, _SMEM_CAND_BUDGET // (maxc_pad * 8))
     g_total = max(1, (_SMEM_TOTAL_BUDGET - fixed) // per_g)
     return min(GROUP_BLOCKS, g_cap, g_total, n_blocks)
 
 
-def _prep_rays(o, d, tmin, tmax, n_chunks, chunk=0, n_nodes=0):
+def _prep_rays(o, d, tmin, tmax, n_chunks, chunk=0):
     """Pad rays to a whole number of group-sized chunks and lay them
     out as [n_groups, rows, LANES] planes."""
     r = o.shape[0]
     block = RAY_SUB * LANES
     n_blocks = pl.cdiv(r, block)
-    g = _group_size(n_blocks, n_chunks, chunk, n_nodes)
+    g = _group_size(n_blocks, n_chunks, chunk)
     n_groups = pl.cdiv(n_blocks, g)
     r_pad = n_groups * g * block
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -571,22 +416,6 @@ def _prep_rays(o, d, tmin, tmax, n_chunks, chunk=0, n_nodes=0):
     rows = g * RAY_SUB
     rays = [p.reshape(n_groups, rows, LANES) for p in rays]
     return rays, r, g, n_groups
-
-
-def _pad_nodes(scene):
-    """Pad the SMEM node arrays to a 128-divisible last dim (Mosaic SMEM
-    block requirement). Padding nodes are never visited: traversal is
-    bounded by the real node count."""
-    box = scene.walk_node_box
-    link = scene.walk_node_link
-    n = box.shape[1]
-    n_pad = pl.cdiv(max(n, 1), LANES) * LANES
-    if n_pad != n:
-        box = jnp.concatenate(
-            [box, jnp.full((6, n_pad - n), BIG, box.dtype)], axis=1)
-        link = jnp.concatenate(
-            [link, jnp.full((3, n_pad - n), n, link.dtype)], axis=1)
-    return box, link, n
 
 
 def _chunk_boxes(scene):
@@ -613,40 +442,56 @@ def _check_walkable(scene):
 
 
 def _candidates(scene, rays_g, g):
-    """Run the traversal kernel on one ray group, then sort each block's
-    candidate chunks front-to-back by conservative entry distance."""
-    box, link, n_nodes = _pad_nodes(scene)
-    c = scene.walk_tris.shape[0]
+    """Per-block candidate chunk lists, sorted front-to-back by
+    conservative entry distance.
+
+    Round-5 implementation: EXACT per-ray slab tests of every ray against
+    every chunk AABB, dense in plain jnp, OR-reduced to per-block unions.
+    This replaces the rounds-2..4 scalar-core BVH traversal kernel: the
+    candidate arrays are statically [g, maxc_pad] either way, the dense
+    test is embarrassingly VPU-parallel (~25 flops x rays x chunks ~= a
+    few GFLOP, 1-3 ms), while the serial per-block BVH walk cost 12-31 ms
+    per 65k wavefront (benchmarks/hall_stats.py) AND emitted conservative
+    interval unions - the exact per-ray test is what hardware descent
+    tests would pass, so the union is as tight as block aggregation
+    allows. The chunk-level skip-link BVH (scene/bvh.py) still orders the
+    triangle layout; only the per-wavefront walk of it is gone."""
+    box, c, chunk = _chunk_boxes(scene)
     maxc_pad = pl.cdiv(c, LANES) * LANES
+    rows = rays_g[0].shape[0]
+    sub = rows // g
 
-    ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    box_spec = pl.BlockSpec((6, box.shape[1]), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-    link_spec = pl.BlockSpec((3, link.shape[1]), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-    cand_spec = pl.BlockSpec((g, maxc_pad), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-    count_spec = pl.BlockSpec((g, LANES), lambda i: (0, 0),
-                              memory_space=pltpu.SMEM)
-
-    cand, tnear, count = pl.pallas_call(
-        _make_traverse_kernel(n_nodes, maxc_pad),
-        grid=(g,),
-        in_specs=[ray_spec] * _N_RAY + [box_spec, link_spec],
-        out_specs=[cand_spec, cand_spec, count_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((g, maxc_pad), jnp.int32),
-            jax.ShapeDtypeStruct((g, maxc_pad), jnp.float32),
-            jax.ShapeDtypeStruct((g, LANES), jnp.int32)],
-    )(*rays_g, box, link)
-
-    # Front-to-back: sort each block's candidates by entry distance (the
-    # pad tail carries t_near = +BIG so it stays behind every real one).
-    order = jnp.argsort(tnear, axis=1)
-    cand = jnp.take_along_axis(cand, order, axis=1)
-    tnear = jnp.take_along_axis(tnear, order, axis=1)
-    return cand, tnear, count, maxc_pad
+    tn = jnp.full((rows, LANES, 1), -BIG, jnp.float32)
+    tf = jnp.full((rows, LANES, 1), BIG, jnp.float32)
+    tmin, tmax = rays_g[9], rays_g[10]
+    valid = tmax >= 0.0
+    for ax in range(3):
+        b0 = box[ax][0][None, None, :]        # [1, 1, C]
+        b1 = box[3 + ax][0][None, None, :]
+        oo = rays_g[ax][..., None]            # [rows, 128, 1]
+        ii = rays_g[6 + ax][..., None]
+        p0 = (b0 - oo) * ii
+        p1 = (b1 - oo) * ii
+        tn = jnp.maximum(tn, jnp.minimum(p0, p1))
+        tf = jnp.minimum(tf, jnp.maximum(p0, p1))
+    ok = ((tn <= tf) & (tf >= tmin[..., None]) & (tn <= tmax[..., None])
+          & valid[..., None])
+    entry = jnp.where(ok, jnp.maximum(tn, 0.0), BIG)
+    ok_b = ok.reshape(g, sub, LANES, c).any(axis=(1, 2))       # [g, C]
+    entry_b = entry.reshape(g, sub, LANES, c).min(axis=(1, 2))
+    key = jnp.where(ok_b, entry_b, BIG)
+    order = jnp.argsort(key, axis=1)
+    cand = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (g, c)),
+        order, axis=1)
+    tnear = jnp.take_along_axis(key, order, axis=1)
+    count = ok_b.sum(axis=1, dtype=jnp.int32)
+    if maxc_pad != c:
+        cand = jnp.pad(cand, ((0, 0), (0, maxc_pad - c)))
+        tnear = jnp.pad(tnear, ((0, 0), (0, maxc_pad - c)),
+                        constant_values=BIG)
+    count_full = jnp.zeros((g, LANES), jnp.int32).at[:, 0].set(count)
+    return cand, tnear, count_full, maxc_pad
 
 
 def _sweep_specs(g, n_chunks, maxc_pad):
@@ -677,8 +522,7 @@ def intersect_closest_raw(scene, o, d, tmin=0.0, tmax=100.0):
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r0,))[perm]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
     box, n_chunks, chunk = _chunk_boxes(scene)
-    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks, chunk,
-                                      scene.walk_node_box.shape[1])
+    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks, chunk)
 
     def one_group(rays_g):
         cand, tnear, count, maxc_pad = _candidates(scene, rays_g, g)
@@ -732,8 +576,7 @@ def intersect_any(scene, o, d, tmin=0.0, tmax=100.0):
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r0,))[perm]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r0,))[perm]
     box, n_chunks, chunk = _chunk_boxes(scene)
-    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks, chunk,
-                                      scene.walk_node_box.shape[1])
+    rays, r, g, n_groups = _prep_rays(o, d, tmin, tmax, n_chunks, chunk)
 
     def one_group(rays_g):
         cand, tnear, count, maxc_pad = _candidates(scene, rays_g, g)
