@@ -89,41 +89,73 @@ def _mirror_z(v):
 # layered lobe already self-flips, `GlossyDiffuse.h:110-135`).
 
 
-def f(seed, mat: MaterialParams, wo, wi, active_lobes=ALL_LOBES):
+def _gated(gates, lobe, seed, eval_fn, zero_fn):
+    """Run `eval_fn(seed)` (returns (seed, value)) under a runtime scalar
+    gate: when `gates` is provided and gates[lobe] is False, skip the lobe
+    entirely at runtime (lax.cond) and return zero_fn(). Used by the
+    material-sorted shading path (integrate/path.py material_sort): after a
+    material counting-sort, most contiguous segments contain one material
+    type, so the other lobes' whole evaluation - including the layered
+    walk - is skipped at runtime while the XLA graph stays static.
+
+    NB: a skipped lobe does not advance the per-lane RNG streams it would
+    have consumed, so material-sorted images differ from unsorted ones by
+    sample decorrelation (equally unbiased, not bit-identical)."""
+    import jax
+    if gates is None:
+        return eval_fn(seed)
+    return jax.lax.cond(gates[lobe], eval_fn,
+                        lambda s: (s, zero_fn()), seed)
+
+
+def f(seed, mat: MaterialParams, wo, wi, active_lobes=ALL_LOBES,
+      gates=None):
     """Evaluate the BSDF for every lane (resolved types only - call
     `resolve_stochastic_lobe` first). Returns (seed, rgb).
 
     active_lobes (a static tuple) prunes lobes absent from the scene's
     material table - the wavefront pays only for lobe types that exist
     (e.g. an all-diffuse Cornell never traces the layered walk).
-    """
+    gates (optional dict lobe -> scalar bool) additionally skips lobes at
+    RUNTIME via lax.cond - see _gated."""
     t = mat.mat_type[..., None]
     flip = (wo[..., 2] < 0.0)[..., None]
     wo_m = jnp.where(flip, _mirror_z(wo), wo)
     wi_m = jnp.where(flip, _mirror_z(wi), wi)
-    out = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    zero3 = lambda: jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)  # noqa: E731
+    out = zero3()
     if DIFFUSE in active_lobes:
-        out = jnp.where(t == DIFFUSE, _diffuse.f(mat.albedo, wo_m, wi_m),
-                        out)
+        _, f_d = _gated(gates, DIFFUSE, seed,
+                        lambda s: (s, _diffuse.f(mat.albedo, wo_m, wi_m)),
+                        zero3)
+        out = jnp.where(t == DIFFUSE, f_d, out)
     if CONDUCTOR in active_lobes:
-        out = jnp.where(t == CONDUCTOR,
-                        _conductor.f(mat.albedo, mat.roughness, wo_m, wi_m),
-                        out)
+        _, f_c = _gated(gates, CONDUCTOR, seed,
+                        lambda s: (s, _conductor.f(mat.albedo,
+                                                   mat.roughness, wo_m,
+                                                   wi_m)), zero3)
+        out = jnp.where(t == CONDUCTOR, f_c, out)
     if DIELECTRIC in active_lobes:
         # Pure dielectric lobe modulated by albedo as in the reference's
         # commented dispatch (`devicePrograms.cu:333`).
-        out = jnp.where(t == DIELECTRIC,
-                        _dielectric.f(mat.roughness, wo, wi, eta=mat.ior)
-                        * mat.albedo, out)
+        _, f_x = _gated(gates, DIELECTRIC, seed,
+                        lambda s: (s, _dielectric.f(mat.roughness, wo, wi,
+                                                    eta=mat.ior)
+                                   * mat.albedo), zero3)
+        out = jnp.where(t == DIELECTRIC, f_x, out)
     if GLOSSY_DIFFUSE in active_lobes:
-        seed, f_glossy = _glossy.f(seed, mat.albedo, mat.roughness, wo, wi,
-                                   eta=mat.ior)
+        seed, f_glossy = _gated(
+            gates, GLOSSY_DIFFUSE, seed,
+            lambda s: _glossy.f(s, mat.albedo, mat.roughness, wo, wi,
+                                eta=mat.ior), zero3)
         out = jnp.where(t == GLOSSY_DIFFUSE, f_glossy, out)
     return seed, out
 
 
-def sample(seed, mat: MaterialParams, wo, active_lobes=ALL_LOBES):
-    """Importance-sample the BSDF per lane. Returns (seed, BSDFSample)."""
+def sample(seed, mat: MaterialParams, wo, active_lobes=ALL_LOBES,
+           gates=None):
+    """Importance-sample the BSDF per lane. Returns (seed, BSDFSample).
+    gates: see f()."""
     t = mat.mat_type
     flip = (wo[..., 2] < 0.0)[..., None]
     wo_m = jnp.where(flip, _mirror_z(wo), wo)
@@ -132,23 +164,31 @@ def sample(seed, mat: MaterialParams, wo, active_lobes=ALL_LOBES):
         return s._replace(direction=jnp.where(flip, _mirror_z(s.direction),
                                               s.direction))
 
-    out = BSDFSample.invalid(wo.shape[:-1])
+    invalid = lambda: BSDFSample.invalid(wo.shape[:-1])  # noqa: E731
+    out = invalid()
     if DIFFUSE in active_lobes:
-        seed, s_diffuse = _diffuse.sample(seed, mat.albedo, wo_m)
+        seed, s_diffuse = _gated(
+            gates, DIFFUSE, seed,
+            lambda s: _diffuse.sample(s, mat.albedo, wo_m), invalid)
         out = where_sample(t == DIFFUSE, _unflip(s_diffuse), out)
     if CONDUCTOR in active_lobes:
-        seed, s_conductor = _conductor.sample(seed, mat.albedo,
-                                              mat.roughness, wo_m)
+        seed, s_conductor = _gated(
+            gates, CONDUCTOR, seed,
+            lambda s: _conductor.sample(s, mat.albedo, mat.roughness, wo_m),
+            invalid)
         out = where_sample(t == CONDUCTOR, _unflip(s_conductor), out)
     if DIELECTRIC in active_lobes:
-        seed, s_dielectric = _dielectric.sample(seed, mat.roughness, wo,
-                                                eta=mat.ior)
-        s_dielectric = s_dielectric._replace(
-            color=s_dielectric.color * mat.albedo)
+        def _samp_x(s):
+            s, sx = _dielectric.sample(s, mat.roughness, wo, eta=mat.ior)
+            return s, sx._replace(color=sx.color * mat.albedo)
+        seed, s_dielectric = _gated(gates, DIELECTRIC, seed, _samp_x,
+                                    invalid)
         out = where_sample(t == DIELECTRIC, s_dielectric, out)
     if GLOSSY_DIFFUSE in active_lobes:
-        seed, s_glossy = _glossy.sample(seed, mat.albedo, mat.roughness, wo,
-                                        eta=mat.ior)
+        seed, s_glossy = _gated(
+            gates, GLOSSY_DIFFUSE, seed,
+            lambda s: _glossy.sample(s, mat.albedo, mat.roughness, wo,
+                                     eta=mat.ior), invalid)
         out = where_sample(t == GLOSSY_DIFFUSE, s_glossy, out)
     return seed, out
 

@@ -89,14 +89,26 @@ def _scene_bounds(scene):
     return root_min, root_max
 
 
+def _perm_from_key(key, n_buckets: int):
+    """Stable counting-sort permutation from integer bucket keys: one
+    [R, K] one-hot cumsum instead of an O(R log R) comparison sort (a few
+    hundred microseconds of VPU-friendly scans per 65k-ray wavefront)."""
+    onehot = (key[:, None] == jnp.arange(n_buckets)[None, :]).astype(
+        jnp.int32)
+    inc = jnp.cumsum(onehot, axis=0)           # [R, K] inclusive ranks
+    within = jnp.take_along_axis(inc, key[:, None], axis=1)[:, 0] - 1
+    counts = inc[-1]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = offsets[key] + within               # destination of each lane
+    r = key.shape[0]
+    return jnp.zeros((r,), jnp.int32).at[rank].set(
+        jnp.arange(r, dtype=jnp.int32))
+
+
 def _bucket_permutation(scene, o, d, alive):
     """Counting-sort permutation over N_BUCKETS coherence buckets (origin
-    2x2x2 cell x direction octant; dead lanes last).
-
-    The cheap replacement for the full Morton argsort: one [R, N_BUCKETS]
-    one-hot cumsum instead of an O(R log R) comparison sort - a few hundred
-    microseconds of VPU-friendly scans per 65k-ray wavefront instead of the
-    ~7 ms argsort that made the coherence sort a net loss. Buckets keep each
+    2x2x2 cell x direction octant; dead lanes last). Buckets keep each
     [RAY_SUB, 128] Pallas block's rays spatially tight so its cluster/BVH
     culling fires (the TPU analog of GPU wavefront ray binning)."""
     root_min, root_max = _scene_bounds(scene)
@@ -108,17 +120,7 @@ def _bucket_permutation(scene, o, d, alive):
               | ((d[:, 1] >= 0).astype(jnp.int32) << 1)
               | ((d[:, 2] >= 0).astype(jnp.int32) << 2))
     key = jnp.where(alive, cell * 8 + octant, N_BUCKETS - 1)
-    onehot = (key[:, None] == jnp.arange(N_BUCKETS)[None, :]).astype(
-        jnp.int32)
-    inc = jnp.cumsum(onehot, axis=0)           # [R, K] inclusive ranks
-    within = jnp.take_along_axis(inc, key[:, None], axis=1)[:, 0] - 1
-    counts = inc[-1]
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = offsets[key] + within               # destination of each lane
-    r = o.shape[0]
-    return jnp.zeros((r,), jnp.int32).at[rank].set(
-        jnp.arange(r, dtype=jnp.int32))
+    return _perm_from_key(key, N_BUCKETS)
 
 
 def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
@@ -174,6 +176,128 @@ def _nee(seed, scene, surf, beta, alive, intersect_method, active_lobes,
     return seed, jnp.where(visible[..., None], contrib, 0.0)
 
 
+def _nee_geom(seed, scene, surf, alive, intersect_method,
+              use_alpha_cutout):
+    """The material-independent half of _nee: light pick, shadow query,
+    local light direction and radiance term. Returns (seed, (wl_local,
+    visible, lrad)) or (seed, None) when the scene has no lights."""
+    n_lights = scene.light_pos.shape[0]
+    if n_lights == 0:
+        return seed, None
+    if n_lights == 1:
+        light_idx = jnp.zeros(alive.shape[0], jnp.int32)
+        p_light = 1.0
+    else:
+        seed, u = rng.rnd(seed)
+        light_idx = jnp.minimum((u * n_lights).astype(jnp.int32),
+                                n_lights - 1)
+        p_light = 1.0 / n_lights
+    lp = scene.light_pos[light_idx]
+    lc = scene.light_color[light_idx]
+    to_light = lp - surf.position
+    dist = length(to_light)
+    wl = normalize(to_light)
+    toward_light = jnp.where(dot(wl, surf.g_normal) < 0.0, -1.0, 1.0)
+    shadow_o = (surf.position
+                + (SHADOW_OFFSET * toward_light)[..., None] * surf.g_normal)
+    shadow_tmax = jnp.where(alive, dist, -1.0)
+    if use_alpha_cutout:
+        blocked = intersect_any_cutout(scene, shadow_o, wl, 0.0,
+                                       shadow_tmax, method=intersect_method)
+    else:
+        blocked = intersect_any(scene, shadow_o, wl, 0.0, shadow_tmax,
+                                method=intersect_method)
+    visible = ~blocked & alive
+    wl_local = surf.to_local(wl)
+    lrad = lc / jnp.maximum(length_sqr(to_light), 1e-12)[..., None] / p_light
+    return seed, (wl_local, visible, lrad)
+
+
+def _shade_mat_segment(seed, surf, o, d, beta, alive, nee, gates,
+                       active_lobes):
+    """The material-dependent shading tail for one contiguous segment of a
+    material-sorted wavefront: NEE f-eval + contribution, BSDF sample,
+    throughput/ray update - with per-lobe runtime gates (dispatch._gated).
+    Returns (seed, radiance_add, beta, o, d, alive)."""
+    radiance_add = jnp.zeros(beta.shape, beta.dtype)
+    if nee is not None:
+        wl_local, visible, lrad = nee
+        seed, f_val = dispatch.f(seed, surf.mat, surf.wo_local, wl_local,
+                                 active_lobes, gates)
+        cos_term = jnp.abs(wl_local[..., 2])
+        contrib = beta * f_val * cos_term[..., None] * lrad
+        radiance_add = jnp.where(visible[..., None], contrib, 0.0)
+
+    seed, bs = dispatch.sample(seed, surf.mat, surf.wo_local, active_lobes,
+                               gates)
+    ok = bs.valid & (bs.pdf > 0.0)
+    new_beta = (beta * bs.color * abs_cos_theta(bs.direction)[..., None]
+                / jnp.where(bs.pdf == 0.0, 1.0, bs.pdf)[..., None])
+    alive = alive & ok
+    wi_world = normalize(surf.to_world(bs.direction))
+    offset_sign = jnp.where(bs.direction[..., 2] < 0.0, -1.0, 1.0)
+    new_o = (surf.position
+             + (SHADOW_OFFSET * offset_sign)[..., None] * surf.g_normal)
+    beta = jnp.where(alive[..., None], new_beta, beta)
+    o = jnp.where(alive[..., None], new_o, o)
+    d = jnp.where(alive[..., None], wi_world, d)
+    alive = alive & (length(beta) > BETA_EPS)
+    return seed, radiance_add, beta, o, d, alive
+
+
+N_MAT_BUCKETS = 6  # 5 material types + dead lanes
+
+
+def _shade_wave_material_sorted(scene, o, d, seed, hit, beta, alive,
+                                radiance, pix, n_seg,
+                                reference_compat, use_textures,
+                                flat_shading, intersect_method,
+                                active_lobes, use_alpha_cutout):
+    """Material-sorted shading (SURVEY.md section 7 hard part (4)): the
+    surface context and NEE shadow query run on the full wavefront (one
+    engine call each), then lanes are counting-sorted by their RESOLVED
+    material type (dead last) and the material-dependent tail - NEE f-eval
+    and BSDF sampling - runs per contiguous segment with per-lobe runtime
+    gates, so a segment of diffuse wall lanes never executes the layered
+    walk. Images are unbiased but not bit-identical to the unsorted path
+    (skipped lobes do not advance the RNG streams they would have burnt).
+    Returns (seed, radiance, beta, o, d, alive, pix) - all permuted."""
+    seed, surf = make_surface(seed, scene, o, d, hit,
+                              reference_compat=reference_compat,
+                              use_textures=use_textures,
+                              flat_shading=flat_shading)
+    seed, nee = _nee_geom(seed, scene, surf, alive, intersect_method,
+                          use_alpha_cutout)
+
+    key = jnp.where(alive, surf.mat.mat_type, N_MAT_BUCKETS - 1)
+    perm = _perm_from_key(key, N_MAT_BUCKETS)
+    o, d, seed, beta = o[perm], d[perm], seed[perm], beta[perm]
+    radiance, alive, pix = radiance[perm], alive[perm], pix[perm]
+    surf = jax.tree.map(lambda a: a[perm], surf)
+    if nee is not None:
+        nee = jax.tree.map(lambda a: a[perm], nee)
+
+    r = o.shape[0]
+    size = r // n_seg
+    pieces = []
+    for si in range(n_seg):
+        sl = slice(si * size, (si + 1) * size)
+        surf_sl = jax.tree.map(lambda a: a[sl], surf)
+        nee_sl = (None if nee is None
+                  else jax.tree.map(lambda a: a[sl], nee))
+        live = alive[sl]
+        mt = surf_sl.mat.mat_type
+        gates = {lobe: jnp.any((mt == lobe) & live)
+                 for lobe in active_lobes}
+        pieces.append(_shade_mat_segment(
+            seed[sl], surf_sl, o[sl], d[sl], beta[sl], live, nee_sl,
+            gates, active_lobes))
+    seed, radiance_add, beta, o, d, alive = (
+        jnp.concatenate([p[k] for p in pieces]) for k in range(6))
+    radiance = radiance + radiance_add  # already gated by NEE visibility
+    return seed, radiance, beta, o, d, alive, pix
+
+
 def _shade_wave(scene, o, d, seed, hit, beta, alive, radiance,
                 reference_compat, use_textures, flat_shading,
                 intersect_method, active_lobes, use_alpha_cutout):
@@ -219,7 +343,8 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                 debug_pixel: int | None = None,
                 sort_rays: bool | None = None,
                 flat_shading: bool = False,
-                compact_shading: int = 0):
+                compact_shading: int = 0,
+                material_sort: int = 0):
     """Trace one path per lane. o, d: [R, 3]; seed: [R] uint32.
     Returns (radiance [R, 3], seed).
 
@@ -242,7 +367,14 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
     alive'. With sort_rays on, dead lanes sort last (COMPACTION.md:
     layered occupancy decays 51/24/10% by bounce 3), so trailing segments
     skip the surface/NEE/BSDF work entirely at runtime. 0 = off. Requires
-    sort_rays; implies segment count divides the wavefront."""
+    sort_rays; implies segment count divides the wavefront.
+    material_sort (static): counting-sort each bounce's wavefront by the
+    lanes' RESOLVED material type after the hit and run the material-
+    dependent shading tail (NEE f + BSDF sample) in this many contiguous
+    segments with per-lobe runtime gates - multi-material scenes stop
+    paying every lobe on every lane (_shade_wave_material_sorted). 0 =
+    off. Mutually exclusive with compact_shading/debug_pixel; images are
+    unbiased but not bit-identical to the unsorted path."""
     r = o.shape[0]
     if compact_shading and not sort_rays:
         sort_rays = True  # segments only pay off with dead-lanes-last
@@ -298,7 +430,13 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
 
         shade_args = (reference_compat, use_textures, flat_shading,
                       intersect_method, active_lobes, use_alpha_cutout)
-        if compact_shading and _bounce and debug_pixel is None \
+        if material_sort and debug_pixel is None \
+                and r % material_sort == 0:
+            (seed, radiance, beta, o, d, alive,
+             pix) = _shade_wave_material_sorted(
+                scene, o, d, seed, hit, beta, alive, radiance, pix,
+                material_sort, *shade_args)
+        elif compact_shading and _bounce and debug_pixel is None \
                 and r % compact_shading == 0:
             # Segmented shading: dead lanes sorted last, so trailing
             # segments skip surface+NEE+BSDF entirely (VERDICT r3 item 6;
@@ -325,9 +463,11 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
             seed, radiance, beta, o, d, alive = _shade_wave(
                 scene, o, d, seed, hit, beta, alive, radiance, *shade_args)
 
-    if sort_rays and max_bounces > 1 and debug_pixel is None:
-        # Undo the coherence sort: scatter per-lane results back to pixel
-        # order (pix is a permutation -> .set is collision-free).
+    sorted_any = ((sort_rays and max_bounces > 1)
+                  or (material_sort and r % material_sort == 0))
+    if sorted_any and debug_pixel is None:
+        # Undo the coherence/material sort: scatter per-lane results back
+        # to pixel order (pix is a permutation -> .set is collision-free).
         radiance = jnp.zeros_like(radiance).at[pix].set(radiance)
         seed = jnp.zeros_like(seed).at[pix].set(seed)
     return radiance, seed
@@ -338,7 +478,7 @@ def trace_paths(scene, o, d, seed, max_bounces: int,
                                    "active_lobes", "use_textures",
                                    "use_alpha_cutout", "debug_pixel",
                                    "sort_rays", "flat_shading",
-                                   "compact_shading"))
+                                   "compact_shading", "material_sort"))
 def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   width: int, height: int, frame_id,
                   max_bounces: int = 2,
@@ -350,7 +490,8 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                   debug_pixel: int | None = None,
                   sort_rays: bool | None = None,
                   flat_shading: bool = False,
-                  compact_shading: int = 0):
+                  compact_shading: int = 0,
+                  material_sort: int = 0):
     """Render one 1-spp frame: [H, W, 3] linear radiance (row 0 = bottom,
     GL convention like the reference framebuffer).
 
@@ -370,7 +511,8 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                               intersect_method, reference_compat,
                               active_lobes, use_textures,
                               use_alpha_cutout, debug_pixel,
-                              sort_rays, flat_shading, compact_shading)
+                              sort_rays, flat_shading, compact_shading,
+                              material_sort)
     return radiance.reshape(height, width, 3)
 
 
@@ -378,14 +520,15 @@ def render_sample(scene, cam_position, cam_inv_view, cam_inv_proj,
                                    "intersect_method", "reference_compat",
                                    "active_lobes", "use_textures",
                                    "use_alpha_cutout", "sort_rays",
-                                   "flat_shading"))
+                                   "flat_shading", "material_sort"))
 def render_chunk(scene, cam_position, cam_inv_view, cam_inv_proj,
                  width: int, height: int, accum, start_frame, chunk: int,
                  max_bounces: int = 2, intersect_method: str = "auto",
                  reference_compat: bool = False,
                  active_lobes=dispatch.ALL_LOBES, use_textures: bool = True,
                  use_alpha_cutout: bool = False,
-                 sort_rays: bool | None = None, flat_shading: bool = False):
+                 sort_rays: bool | None = None, flat_shading: bool = False,
+                 material_sort: int = 0):
     """Accumulate `chunk` consecutive 1-spp frames into the running mean
     with a single on-device lax.fori_loop - one host dispatch per chunk
     instead of per sample. Bit-identical to chaining render_sample calls
@@ -396,7 +539,8 @@ def render_chunk(scene, cam_position, cam_inv_view, cam_inv_proj,
                               cam_inv_proj, width, height, s, max_bounces,
                               intersect_method, reference_compat,
                               active_lobes, use_textures, use_alpha_cutout,
-                              sort_rays=sort_rays, flat_shading=flat_shading)
+                              sort_rays=sort_rays, flat_shading=flat_shading,
+                              material_sort=material_sort)
         return acc + (frame - acc) / (s.astype(jnp.float32) + 1.0)
     return jax.lax.fori_loop(0, chunk, body, accum)
 

@@ -441,55 +441,147 @@ def _check_walkable(scene):
             "the hierarchical walk kernel needs build_bvh=True")
 
 
+def _make_cand_kernel(block_rays: int, n_tiles: int):
+    """Per-block exact candidate entries, role-flipped: CHUNKS ride the
+    vector lanes ([n_tiles, 128] covers every chunk AABB in a handful of
+    register rows) while RAYS are a scalar fori_loop reading 8 SMEM
+    scalars each. The per-chunk accumulator (min entry distance over
+    passing rays, BIG = none) stays entirely in a VMEM register - no
+    cross-lane reductions, no per-chunk scalar writes (a chunk-scalar
+    variant with a jnp.min reduce per chunk measured 22 ms vs 12 for
+    plain jnp; this layout has zero scalar<->vector sync in the loop).
+    Dead rays (tmax < 0) skip via pl.when."""
+    def kernel(*refs):
+        rays = refs[:8]           # ox oy oz ix iy iz tmin tmax [g, R] SMEM
+        box = refs[8]             # [6, n_tiles, LANES] VMEM
+        entry_ref = refs[9]       # [1, n_tiles, LANES] VMEM out block
+        blk = pl.program_id(0)
+
+        bnx, bny, bnz = box[0], box[1], box[2]
+        bxx, bxy, bxz = box[3], box[4], box[5]
+
+        def scoped(acc):
+            acc[:] = jnp.full_like(acc[:], BIG)
+
+            def body(r, _):
+                tmx = rays[7][blk, r]
+
+                @pl.when(tmx >= 0.0)
+                def _live():
+                    ox, oy, oz = (rays[0][blk, r], rays[1][blk, r],
+                                  rays[2][blk, r])
+                    ix, iy, iz = (rays[3][blk, r], rays[4][blk, r],
+                                  rays[5][blk, r])
+                    tmn = rays[6][blk, r]
+                    tx0 = (bnx - ox) * ix
+                    tx1 = (bxx - ox) * ix
+                    ty0 = (bny - oy) * iy
+                    ty1 = (bxy - oy) * iy
+                    tz0 = (bnz - oz) * iz
+                    tz1 = (bxz - oz) * iz
+                    t_near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1))
+                    t_far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+                    can = (t_near <= t_far) & (t_far >= tmn) \
+                        & (t_near <= tmx)
+                    acc[:] = jnp.minimum(
+                        acc[:], jnp.where(can, jnp.maximum(t_near, 0.0),
+                                          BIG))
+                return 0
+
+            jax.lax.fori_loop(0, block_rays, body, 0)
+            entry_ref[0] = acc[:]
+
+        pl.run_scoped(scoped, pltpu.VMEM((n_tiles, LANES), jnp.float32))
+
+    return kernel
+
+
+_CAND_SMEM_BUDGET = 384 * 1024  # SMEM for the candidate kernel's ray
+                                # scalars (8 planes x block_rays x 4 B per
+                                # block; whole [g_c, R] arrays resident)
+
+
 def _candidates(scene, rays_g, g):
     """Per-block candidate chunk lists, sorted front-to-back by
     conservative entry distance.
 
     Round-5 implementation: EXACT per-ray slab tests of every ray against
-    every chunk AABB, dense in plain jnp, OR-reduced to per-block unions.
-    This replaces the rounds-2..4 scalar-core BVH traversal kernel: the
-    candidate arrays are statically [g, maxc_pad] either way, the dense
-    test is embarrassingly VPU-parallel (~25 flops x rays x chunks ~= a
-    few GFLOP, 1-3 ms), while the serial per-block BVH walk cost 12-31 ms
-    per 65k wavefront (benchmarks/hall_stats.py) AND emitted conservative
-    interval unions - the exact per-ray test is what hardware descent
-    tests would pass, so the union is as tight as block aggregation
-    allows. The chunk-level skip-link BVH (scene/bvh.py) still orders the
-    triangle layout; only the per-wavefront walk of it is gone."""
+    every chunk AABB (a Pallas kernel: vector test per chunk, grid over
+    blocks), reduced to per-block unions and argsorted by entry distance
+    in jnp. This replaces the rounds-2..4 scalar-core BVH traversal
+    kernel: the candidate arrays are statically [g, maxc_pad] either way,
+    the dense test costs ~C x 45 VPU cycles per block (~3 ms per 65k
+    wavefront on hall) while the serial per-block BVH walk cost 12-31 ms
+    AND emitted conservative interval unions - the exact per-ray test is
+    what hardware descent would pass, so the union is as tight as block
+    aggregation allows. (A pure-jnp dense version measured 12 ms - XLA
+    materializes the [rays, chunks] intermediates through HBM; the kernel
+    keeps them in registers.) The chunk-level skip-link BVH (scene/bvh.py)
+    still orders the triangle layout; only the per-wavefront walk of it
+    is gone."""
     box, c, chunk = _chunk_boxes(scene)
     maxc_pad = pl.cdiv(c, LANES) * LANES
     rows = rays_g[0].shape[0]
-    sub = rows // g
+    ray_rows = rows // g
+    block_rays = ray_rows * LANES
+    n_tiles = maxc_pad // LANES
 
-    tn = jnp.full((rows, LANES, 1), -BIG, jnp.float32)
-    tf = jnp.full((rows, LANES, 1), BIG, jnp.float32)
-    tmin, tmax = rays_g[9], rays_g[10]
-    valid = tmax >= 0.0
-    for ax in range(3):
-        b0 = box[ax][0][None, None, :]        # [1, 1, C]
-        b1 = box[3 + ax][0][None, None, :]
-        oo = rays_g[ax][..., None]            # [rows, 128, 1]
-        ii = rays_g[6 + ax][..., None]
-        p0 = (b0 - oo) * ii
-        p1 = (b1 - oo) * ii
-        tn = jnp.maximum(tn, jnp.minimum(p0, p1))
-        tf = jnp.minimum(tf, jnp.maximum(p0, p1))
-    ok = ((tn <= tf) & (tf >= tmin[..., None]) & (tn <= tmax[..., None])
-          & valid[..., None])
-    entry = jnp.where(ok, jnp.maximum(tn, 0.0), BIG)
-    ok_b = ok.reshape(g, sub, LANES, c).any(axis=(1, 2))       # [g, C]
-    entry_b = entry.reshape(g, sub, LANES, c).min(axis=(1, 2))
-    key = jnp.where(ok_b, entry_b, BIG)
-    order = jnp.argsort(key, axis=1)
-    cand = jnp.take_along_axis(
-        jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (g, c)),
-        order, axis=1)
-    tnear = jnp.take_along_axis(key, order, axis=1)
-    count = ok_b.sum(axis=1, dtype=jnp.int32)
+    box6 = jnp.concatenate(box, axis=0)                    # [6, C]
     if maxc_pad != c:
-        cand = jnp.pad(cand, ((0, 0), (0, maxc_pad - c)))
-        tnear = jnp.pad(tnear, ((0, 0), (0, maxc_pad - c)),
-                        constant_values=BIG)
+        box6 = jnp.pad(box6, ((0, 0), (0, maxc_pad - c)))
+    box3 = box6.reshape(6, n_tiles, LANES)
+
+    # rays as per-block scalar rows [g, block_rays] (ray = row*128+lane)
+    plane_ids = (0, 1, 2, 6, 7, 8, 9, 10)  # o, inv_d, tmin, tmax
+    srays = [rays_g[k].reshape(g, block_rays) for k in plane_ids]
+
+    g_c = max(1, min(g, _CAND_SMEM_BUDGET // (block_rays * 4 * 8)))
+    ray_spec = pl.BlockSpec((g_c, block_rays), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    box_spec = pl.BlockSpec((6, n_tiles, LANES), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    entry_spec = pl.BlockSpec((1, n_tiles, LANES), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def call(sub):
+        return pl.pallas_call(
+            _make_cand_kernel(block_rays, n_tiles),
+            grid=(g_c,),
+            in_specs=[ray_spec] * 8 + [box_spec],
+            out_specs=entry_spec,
+            out_shape=jax.ShapeDtypeStruct((g_c, n_tiles, LANES),
+                                           jnp.float32),
+        )(*sub, box3)
+
+    if g_c == g:
+        entry = call(srays)
+    else:
+        n_sub = pl.cdiv(g, g_c)
+        g_pad = n_sub * g_c
+        srays = [jnp.pad(p, ((0, g_pad - g), (0, 0)),
+                         constant_values=-1.0) if g_pad != g else p
+                 for p in srays]
+        stacked = [p.reshape(n_sub, g_c, block_rays) for p in srays]
+        entry = jax.lax.map(lambda planes: call(list(planes)),
+                            tuple(stacked))
+        entry = entry.reshape(g_pad, n_tiles, LANES)[:g]
+    entry = entry.reshape(g, maxc_pad)
+    if maxc_pad != c:
+        # padded chunk slots carry garbage boxes; force them empty
+        entry = entry.at[:, c:].set(BIG)
+
+    order = jnp.argsort(entry, axis=1)
+    cand = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(maxc_pad, dtype=jnp.int32),
+                         (g, maxc_pad)), order, axis=1)
+    tnear = jnp.take_along_axis(entry, order, axis=1)
+    count = (entry < BIG).sum(axis=1, dtype=jnp.int32)
     count_full = jnp.zeros((g, LANES), jnp.int32).at[:, 0].set(count)
     return cand, tnear, count_full, maxc_pad
 
