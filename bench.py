@@ -133,7 +133,7 @@ def main():
                     i.astype(jnp.uint32), max_bounces=max_bounces,
                     active_lobes=lobes)
                 return new_s
-            return jax.lax.fori_loop(0, steps, body, s)
+            return jax.lax.fori_loop(0, steps, body, s).mat_albedo
 
         dt = _bench(train, scene)
         return steps * width * height * max_bounces * 2 / dt / 1e6

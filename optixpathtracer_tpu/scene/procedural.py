@@ -213,13 +213,49 @@ GOLDEN_GEO = dict(
 # exact published values (`main.cpp:10-17`).
 GOLDEN_FIT: dict = {
     "diffuse": {
-        "radius": 0.19856, "spacing": 0.46339, "back_x": -0.00762,
-        "floor_y": -0.58266, "ceil_y": 2.5815,
-        "sphere_rgb": (0.8858, 0.0027, 0.0025),
-        "back_rgb": (0.474, 0.5198, 0.5202),
-        "green_rgb": (0.0301, 0.7757, 0.0157),
-        "blue_rgb": (0.0297, 0.0161, 0.7754),
-        "wall_rough": 0.999, "light_scale": 0.3556,
+        "radius": 0.19942, "spacing": 0.46339, "back_x": -0.00762,
+        "floor_y": -0.54874, "ceil_y": 2.5591,
+        "sphere_rgb": (0.9744, 0.0032, 0.003),
+        "back_rgb": (0.5165, 0.5699, 0.5707),
+        "green_rgb": (0.0368, 0.8521, 0.0184),
+        "blue_rgb": (0.0349, 0.0186, 0.8483),
+        "wall_rough": 0.999, "light_scale": 0.3157,
+    },
+    "conductor": {
+        "radius": 0.20086, "spacing": 0.46462, "back_x": 0.02272,
+        "floor_y": -0.34342, "ceil_y": 2.33651,
+        "sphere_rgb": (0.5874, 0.0003, 0.0002),
+        "back_rgb": (0.3367, 0.2913, 0.2917),
+        "green_rgb": (0.0326, 0.5936, 0.0109),
+        "blue_rgb": (0.0256, 0.011, 0.5942),
+        "wall_rough": 0.9998, "light_scale": 0.2986,
+    },
+    "dielectric": {
+        "radius": 0.13299, "spacing": 0.53032, "back_x": 0.13168,
+        "floor_y": -0.39872, "ceil_y": 2.40909,
+        "sphere_rgb": (0.1592, 0.1052, 0.1051),
+        "back_rgb": (0.4209, 0.4203, 0.4201),
+        "green_rgb": (0.1902, 0.1927, 0.1897),
+        "blue_rgb": (0.1913, 0.1906, 0.1935),
+        "wall_rough": 0.9996, "light_scale": 0.4203,
+    },
+    "dielectric20": {
+        "radius": 0.13602, "spacing": 0.5308, "back_x": 0.16058,
+        "floor_y": -0.42982, "ceil_y": 2.48218,
+        "sphere_rgb": (0.1807, 0.1845, 0.1836),
+        "back_rgb": (0.1959, 0.1958, 0.1948),
+        "green_rgb": (0.1465, 0.1464, 0.1464),
+        "blue_rgb": (0.1487, 0.1486, 0.1484),
+        "wall_rough": 0.9999, "light_scale": 15.3819,
+    },
+    "layered": {
+        "radius": 0.20147, "spacing": 0.46289, "back_x": 0.02013,
+        "floor_y": -0.47206, "ceil_y": 2.45594,
+        "sphere_rgb": (0.8297, 0.0004, 0.0006),
+        "back_rgb": (0.3169, 0.3064, 0.3069),
+        "green_rgb": (0.0361, 0.4707, 0.0033),
+        "blue_rgb": (0.0283, 0.003, 0.4733),
+        "wall_rough": 0.7468, "light_scale": 0.2263,
     },
 }
 
