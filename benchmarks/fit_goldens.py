@@ -49,8 +49,9 @@ import numpy as np
 
 SMOOTH_KEYS = ("alb_logits", "wall_rough_logit", "light_logi")
 # FD step sizes in native units per geo coordinate
-GEO_H = np.array([0.003, 0.004, 0.03, 0.04, 0.04], np.float32)
-GEO_LR = GEO_H  # Adam step ~= one FD step per iteration
+# (radius, spacing, back_x, floor_y, ceil_y, grid_y, grid_z)
+GEO_H = np.array([0.003, 0.004, 0.03, 0.04, 0.04, 0.02, 0.02], np.float32)
+GEO_LR = GEO_H  # sign-SGD step ~= one FD step per iteration
 
 
 def main():
@@ -128,8 +129,8 @@ def main():
     # --- silhouette phase: CRN central differences on the 5 geo scalars
     def fd_grad(params, frame0):
         base = params["geo"]
-        g = np.zeros(5, np.float32)
-        for i in range(5):
+        g = np.zeros(len(GEO_H), np.float32)
+        for i in range(len(GEO_H)):
             hp = base.at[i].add(GEO_H[i])
             hm = base.at[i].add(-GEO_H[i])
             lp = loss_fd({**params, "geo": hp}, frame0)

@@ -31,7 +31,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-GEO_KEYS = ("radius", "spacing", "back_x", "floor_y", "ceil_y")
+GEO_KEYS = ("radius", "spacing", "back_x", "floor_y", "ceil_y",
+            "grid_y", "grid_z")
 
 # material-table group of each mesh in scene_material_test order:
 # 36 spheres, then [back, green, blue, floor, ceiling] walls

@@ -189,6 +189,10 @@ def _sphere_grid(mat_fn, rows=3, cols=3, radius=0.22, spacing=0.6,
 # fitted by minimizing MSE against the goldens (benchmarks/accuracy.py).
 GOLDEN_GEO = dict(
     radius=0.2, spacing=0.4627, back_x=-0.5, floor_y=-1.2, ceil_y=3.2,
+    # sphere-grid center (world y / z) - a free parameter of the
+    # reconstruction: the round-5 1080p comparison showed a vertical
+    # framing offset vs the goldens with the grid pinned at (1.0, 0.0)
+    grid_y=1.0, grid_z=0.0,
     # Albedos from the round-4 Adam fit (benchmarks/fit_goldens.py, 300
     # steps against the diffuse golden - the dispatch under which albedo
     # is most identifiable; the reference renders all five goldens from
@@ -293,8 +297,8 @@ def scene_material_test(material_kind: str, geo: dict = None,
     for i in range(6):        # rows (y)
         for j in range(6):    # columns; j=0 is screen-left (+z), rough 0
             rough = j / 5.0
-            y = 1.0 + (2.5 - i) * s
-            z = (2.5 - j) * s
+            y = g["grid_y"] + (2.5 - i) * s
+            z = g["grid_z"] + (2.5 - j) * s
             mat = Material(base_color=sphere_rgb, roughness=rough,
                            metallic=1.0 if mat_type == "conductor" else 0.0,
                            mat_type=mat_type)
